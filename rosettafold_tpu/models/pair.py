@@ -1,0 +1,176 @@
+"""Pair-track modules.
+
+TPU-native re-designs of the reference pair-track modules
+(/root/reference/rosettafold_pytorch/rosettafold_pytorch.py:412-556). The
+outer-product coevolution feature is a single MXU einsum; the 3x3 conv residual
+lowers to lax.conv_general_dilated (NHWC); axial attention applies FAVOR+ along the
+row / column axes of the L x L pair map.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .attention import FeedForward, PerformerSelfAttention
+from .msa import PositionWiseWeightFactor
+from .resnet import InstanceNorm2d
+
+
+def symmetrize(x: jnp.ndarray) -> jnp.ndarray:
+    """0.5 * (x + x^T) over the pair axes (reference :550-556)."""
+    return 0.5 * (x + jnp.swapaxes(x, 1, 2))
+
+
+class OuterProductMean(nn.Module):
+    """Outer-product *sum* over MSA rows -> pair features (reference :412-427).
+
+    einsum('bniu,bnjv->bijuv') flattened to (u v), then LayerNorm + Linear. The sum
+    (not mean) is intentional: y is pre-weighted by attention (:421-422).
+    """
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x, y=None):
+        y = x if y is None else y
+        op = jnp.einsum("bniu,bnjv->bijuv", x, y)
+        op = op.reshape(*op.shape[:3], self.in_features**2)
+        op = nn.LayerNorm(epsilon=1e-5, name="ln")(op)
+        return nn.Dense(self.out_features, name="to_out")(op)
+
+
+class PairUpdateWithMsa(nn.Module):
+    """MSA -> pair update (reference :430-498).
+
+    Projects the MSA to d_proj, forms the position-weighted outer product, tiles 1D
+    MSA features row-/col-wise, concatenates with LN(pair) and the tied-attention
+    map, and runs a Linear + one 2-conv residual block (3x3, InstanceNorm, ELU).
+    """
+
+    d_msa: int
+    d_proj: int = 32
+    d_pair: int = 288
+    n_heads: int = 12
+    p_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, msa, pair, att, *, deterministic: bool = True):
+        L = msa.shape[2]
+
+        # proj_msa: LN -> Linear -> LN (:434-438)
+        m = nn.LayerNorm(epsilon=1e-5, name="proj_msa_ln_in")(msa)
+        m = nn.Dense(self.d_proj, name="proj_msa")(m)
+        m = nn.LayerNorm(epsilon=1e-5, name="proj_msa_ln_out")(m)  # (B, N, L, d_proj)
+
+        w = PositionWiseWeightFactor(
+            self.d_proj, 1, self.p_dropout, name="poswise_weight"
+        )(m, deterministic=deterministic)  # (B, N, 1, L, 1)
+        w = w[:, :, 0]  # (B, N, L, 1)
+
+        coevol = OuterProductMean(self.d_proj, self.d_pair, name="outer_product_mean")(
+            m, m * w
+        )
+        coevol = nn.LayerNorm(epsilon=1e-5, name="ln_coevol_feat")(coevol)
+
+        msa_1d = jnp.concatenate([jnp.sum(m, axis=1), m[:, 0]], axis=-1)  # (B, L, 2p)
+        row_tiled = jnp.broadcast_to(
+            msa_1d[:, :, None, :], (*msa_1d.shape[:2], L, msa_1d.shape[-1])
+        )
+        col_tiled = jnp.swapaxes(row_tiled, 1, 2)
+
+        feat = jnp.concatenate(
+            [
+                coevol,
+                row_tiled,
+                col_tiled,
+                nn.LayerNorm(epsilon=1e-5, name="ln_pair")(pair),
+                att,
+            ],
+            axis=-1,
+        )
+
+        # Linear -> Residual(conv3x3 -> IN -> ELU -> Dropout -> conv3x3 -> IN) -> ELU
+        x = nn.Dense(self.d_pair, name="resnet_in")(feat)
+        y = nn.Conv(self.d_pair, (3, 3), padding="SAME", use_bias=False, name="conv1")(x)
+        y = InstanceNorm2d(self.d_pair, name="in1")(y)
+        y = nn.elu(y)
+        y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+        y = nn.Conv(self.d_pair, (3, 3), padding="SAME", use_bias=False, name="conv2")(y)
+        y = InstanceNorm2d(self.d_pair, name="in2")(y)
+        return nn.elu(x + y)
+
+
+class PairUpdateWithAxialAttentionLayer(nn.Module):
+    """Axial FAVOR+ attention over the pair map (reference :501-528).
+
+    Row step attends along the first pair axis (for each fixed j), col step along
+    the second (for each fixed i), each pre-LN residual, then a pre-LN FF residual.
+    Both attentions use the generalized (ReLU-kernel) Performer mode (:509,:517).
+    """
+
+    d_pair: int
+    d_ff: int
+    n_heads: int = 8
+    p_dropout: float = 0.1
+    feature_seed: int = 42
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        row_attn = PerformerSelfAttention(
+            dim=self.d_pair,
+            heads=self.n_heads,
+            p_dropout=self.p_dropout,
+            generalized_attention=True,
+            feature_seed=self.feature_seed,
+            name="row_attn",
+        )
+        col_attn = PerformerSelfAttention(
+            dim=self.d_pair,
+            heads=self.n_heads,
+            p_dropout=self.p_dropout,
+            generalized_attention=True,
+            feature_seed=self.feature_seed + 1,
+            name="col_attn",
+        )
+
+        # RowWise (reference :44-54): attend over axis 1 (i) for each fixed j.
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_row")(x)
+        y = jnp.swapaxes(y, 1, 2)  # (B, j, i, d)
+        y = row_attn(y, deterministic=deterministic)
+        x = x + jnp.swapaxes(y, 1, 2)
+
+        # ColWise: attend over axis 2 (j) for each fixed i.
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_col")(x)
+        x = x + col_attn(y, deterministic=deterministic)
+
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_ff")(x)
+        y = FeedForward(self.d_pair, self.d_ff, self.p_dropout, name="ff")(
+            y, deterministic=deterministic
+        )
+        return x + y
+
+
+class PairUpdateWithAxialAttention(nn.Module):
+    """N-layer axial attention stack (reference :531-547)."""
+
+    d_pair: int
+    d_ff: int
+    n_heads: int = 8
+    p_dropout: float = 0.1
+    n_encoder_layers: int = 4
+    feature_seed: int = 42
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        for i in range(self.n_encoder_layers):
+            x = PairUpdateWithAxialAttentionLayer(
+                self.d_pair,
+                self.d_ff,
+                self.n_heads,
+                self.p_dropout,
+                feature_seed=self.feature_seed + 2 * i,
+                name=f"layer_{i}",
+            )(x, deterministic=deterministic)
+        return x

@@ -1,0 +1,25 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX initializes.
+
+Multi-device tests run on a simulated mesh via
+--xla_force_host_platform_device_count (no pod needed), mirroring the test
+strategy gap in the reference (it has no distributed tests at all; SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402  (import after env setup)
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

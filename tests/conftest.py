@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: compile times dominate test wall-clock here.
+jax.config.update("jax_compilation_cache_dir", "/tmp/rftpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -23,3 +26,4 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+

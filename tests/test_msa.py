@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from rosettafold_tpu.utils.testing import japply, jinit, jinit_out
 from rosettafold_tpu.models.msa import (
     EncoderLayer,
     MsaUpdateUsingSelfAttention,
@@ -24,7 +25,7 @@ def _msa(key=0):
 
 def test_poswise_weight_factor_shape_and_sums_to_1():
     mod = PositionWiseWeightFactor(d_msa=D, n_heads=4, p_dropout=0.0)
-    w, _ = mod.init_with_output(jax.random.PRNGKey(0), _msa())
+    w, _ = jinit_out(mod, jax.random.PRNGKey(0), _msa())
     assert w.shape == (B, N, 4, L, 1)
     np.testing.assert_allclose(np.asarray(w.sum(axis=1)), 1.0, atol=1e-5)
 
@@ -32,12 +33,12 @@ def test_poswise_weight_factor_shape_and_sums_to_1():
 def test_poswise_weight_factor_rejects_bad_heads():
     mod = PositionWiseWeightFactor(d_msa=D, n_heads=5)
     with pytest.raises(AssertionError):
-        mod.init_with_output(jax.random.PRNGKey(0), _msa())
+        jinit_out(mod, jax.random.PRNGKey(0), _msa())
 
 
 def test_soft_tied_attention_shape():
     mod = SoftTiedAttentionOverResidues(d_msa=D, n_heads=4, p_dropout=0.0)
-    out, _ = mod.init_with_output(jax.random.PRNGKey(0), _msa())
+    out, _ = jinit_out(mod, jax.random.PRNGKey(0), _msa())
     assert out.shape == (B, N, L, D)
 
 
@@ -45,7 +46,7 @@ def test_soft_tied_attention_att_is_symmetric():
     mod = SoftTiedAttentionOverResidues(
         d_msa=D, n_heads=4, p_dropout=0.0, return_att=True
     )
-    (out, att), _ = mod.init_with_output(jax.random.PRNGKey(0), _msa())
+    (out, att), _ = jinit_out(mod, jax.random.PRNGKey(0), _msa())
     assert att.shape == (B, L, L, 4)
     np.testing.assert_allclose(
         np.asarray(att), np.asarray(att.swapaxes(1, 2)), atol=1e-6
@@ -54,25 +55,25 @@ def test_soft_tied_attention_att_is_symmetric():
 
 def test_encoder_layer_tied_shape():
     mod = EncoderLayer(d_msa=D, d_ff=D * 2, n_heads=4, tied=True)
-    out, _ = mod.init_with_output(jax.random.PRNGKey(0), _msa())
+    out, _ = jinit_out(mod, jax.random.PRNGKey(0), _msa())
     assert out.shape == (B, N, L, D)
 
 
 def test_encoder_layer_performer_shape():
     mod = EncoderLayer(d_msa=D, d_ff=D * 2, n_heads=4, performer=True)
-    out, _ = mod.init_with_output(jax.random.PRNGKey(0), _msa())
+    out, _ = jinit_out(mod, jax.random.PRNGKey(0), _msa())
     assert out.shape == (B, N, L, D)
 
 
 def test_encoder_layer_performer_return_att_raises():
     mod = EncoderLayer(d_msa=D, d_ff=D * 2, n_heads=4, performer=True, return_att=True)
     with pytest.raises(NotImplementedError):
-        mod.init_with_output(jax.random.PRNGKey(0), _msa())
+        jinit_out(mod, jax.random.PRNGKey(0), _msa())
 
 
 def test_msa_update_using_self_attention_shape():
     mod = MsaUpdateUsingSelfAttention(d_msa=D, d_ff=D * 2, n_heads=4, n_encoder_layers=2)
-    (out, att), _ = mod.init_with_output(jax.random.PRNGKey(0), _msa())
+    (out, att), _ = jinit_out(mod, jax.random.PRNGKey(0), _msa())
     assert out.shape == (B, N, L, D)
     assert att.shape == (B, L, L, 4)
 
@@ -81,7 +82,7 @@ def test_msa_update_with_pair_shape():
     d_pair = 24
     mod = MsaUpdateWithPair(d_msa=D, d_pair=d_pair, n_heads=4, n_encoder_layers=2)
     pair = jax.random.normal(jax.random.PRNGKey(1), (B, L, L, d_pair))
-    out, _ = mod.init_with_output(jax.random.PRNGKey(0), _msa(), pair)
+    out, _ = jinit_out(mod, jax.random.PRNGKey(0), _msa(), pair)
     assert out.shape == (B, N, L, D)
 
 
@@ -90,7 +91,7 @@ def test_msa_update_with_pair_and_coord_shape():
     mod = MsaUpdateWithPairAndCoord(d_msa=D, d_state=d_state, d_ff=D * 2)
     xyz = jax.random.normal(jax.random.PRNGKey(2), (B, L, 3, 3))
     state = jax.random.normal(jax.random.PRNGKey(3), (B, L, d_state))
-    out, _ = mod.init_with_output(jax.random.PRNGKey(0), xyz, state, _msa())
+    out, _ = jinit_out(mod, jax.random.PRNGKey(0), xyz, state, _msa())
     assert out.shape == (B, N, L, D)
 
 
@@ -107,12 +108,12 @@ def test_msa_update_with_pair_and_coord_respects_distance_mask():
     xyz = jnp.tile(ca[:, :, None, :], (1, 1, 3, 1))
     state = jax.random.normal(jax.random.PRNGKey(3), (B, L, d_state))
     msa = _msa()
-    params = mod.init(jax.random.PRNGKey(0), xyz, state, msa)
+    params = jinit(mod, jax.random.PRNGKey(0), xyz, state, msa)
 
-    out1 = mod.apply(params, xyz, state, msa)
+    out1 = japply(mod, params, xyz, state, msa)
     # Perturb MSA values in cluster B only; cluster A outputs must be unchanged.
     msa2 = msa.at[:, :, L // 2 :].add(3.0)
-    out2 = mod.apply(params, xyz, state, msa2)
+    out2 = japply(mod, params, xyz, state, msa2)
     np.testing.assert_allclose(
         np.asarray(out1[:, :, : L // 2]), np.asarray(out2[:, :, : L // 2]), atol=1e-5
     )

@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rosettafold_tpu.utils.testing import japply, jinit, jinit_out
 from rosettafold_tpu.models.pair import (
     OuterProductMean,
     PairUpdateWithAxialAttention,
@@ -18,7 +19,7 @@ def test_outer_product_mean_shape():
     d_in, d_out = 8, 24
     x = jax.random.normal(jax.random.PRNGKey(0), (B, N, L, d_in))
     mod = OuterProductMean(in_features=d_in, out_features=d_out)
-    out, _ = mod.init_with_output(jax.random.PRNGKey(1), x)
+    out, _ = jinit_out(mod, jax.random.PRNGKey(1), x)
     assert out.shape == (B, L, L, d_out)
 
 
@@ -28,7 +29,7 @@ def test_pair_update_with_msa_shape():
     pair = jax.random.normal(jax.random.PRNGKey(1), (B, L, L, d_pair))
     att = jax.random.normal(jax.random.PRNGKey(2), (B, L, L, n_heads))
     mod = PairUpdateWithMsa(d_msa=d_msa, d_proj=d_proj, d_pair=d_pair, n_heads=n_heads)
-    out, _ = mod.init_with_output(jax.random.PRNGKey(3), msa, pair, att)
+    out, _ = jinit_out(mod, jax.random.PRNGKey(3), msa, pair, att)
     assert out.shape == (B, L, L, d_pair)
 
 
@@ -38,7 +39,7 @@ def test_pair_update_with_axial_attention_shape():
     mod = PairUpdateWithAxialAttention(
         d_pair=d_pair, d_ff=d_pair * 2, n_heads=4, n_encoder_layers=2
     )
-    out, _ = mod.init_with_output(jax.random.PRNGKey(1), pair)
+    out, _ = jinit_out(mod, jax.random.PRNGKey(1), pair)
     assert out.shape == (B, L, L, d_pair)
 
 

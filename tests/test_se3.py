@@ -1,0 +1,175 @@
+"""SE(3)-transformer and structure-track tests.
+
+The decisive test the reference lacks (SURVEY.md §4): full-layer equivariance —
+rotate the input frame, outputs must co-rotate (type-1) / stay invariant (type-0).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rosettafold_tpu.utils.testing import japply, jinit, jinit_out
+from rosettafold_tpu.models.se3 import Fiber, SE3Transformer, TFN
+from rosettafold_tpu.models.structure import (
+    CoordUpdateWithMsaAndPair,
+    GraphTransformer,
+    GraphTransformerBlock,
+    InitialCoordGenerationWithMsaAndPair,
+)
+from rosettafold_tpu.ops import knn, so3
+
+B, L = 1, 10
+D_NODE, D_EDGE, D_STATE = 8, 6, 8
+
+
+def _se3_inputs(key=0):
+    k = jax.random.split(jax.random.PRNGKey(key), 5)
+    h0 = jax.random.normal(k[0], (B, L, D_NODE, 1))
+    xyz = jax.random.normal(k[1], (B, L, 3)) * 4.0
+    h1 = jax.random.normal(k[2], (B, L, 3, 3))
+    edge = jax.random.normal(k[3], (B, L, L, D_EDGE))
+    edge = 0.5 * (edge + jnp.swapaxes(edge, 1, 2))
+    rel = xyz[:, :, None, :] - xyz[:, None, :, :]
+    mask = jnp.ones((B, L, L), bool) & ~jnp.eye(L, dtype=bool)[None]
+    return h0, h1, edge, rel, mask, xyz
+
+
+def _model():
+    return SE3Transformer(
+        num_layers=2, num_channels=8, n_heads=2, num_degrees=2,
+        l0_in_features=D_NODE, l1_in_features=3,
+        l0_out_features=D_STATE, l1_out_features=3,
+        num_edge_features=D_EDGE,
+    )
+
+
+def test_se3_transformer_shapes():
+    h0, h1, edge, rel, mask, _ = _se3_inputs()
+    model = _model()
+    out, _ = jinit_out(model, jax.random.PRNGKey(0), h0, h1, edge, rel, mask)
+    assert out[0].shape == (B, L, D_STATE, 1)
+    assert out[1].shape == (B, L, 3, 3)
+
+
+def test_se3_transformer_equivariance():
+    """Rotate coords and type-1 inputs by R: type-0 output invariant, type-1
+    output rotates by R."""
+    h0, h1, edge, rel, mask, xyz = _se3_inputs()
+    model = _model()
+    params = jinit(model, jax.random.PRNGKey(0), h0, h1, edge, rel, mask)
+    out = japply(model, params, h0, h1, edge, rel, mask)
+
+    R = jnp.asarray(so3.rot_np(0.7, 0.3, 1.9), dtype=jnp.float32)
+    out_r = japply(model, params, h0, h1 @ R.T, edge, rel @ R.T, mask)
+
+    np.testing.assert_allclose(
+        np.asarray(out_r[0]), np.asarray(out[0]), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_r[1]), np.asarray(out[1] @ R.T), atol=2e-3
+    )
+
+
+def test_tfn_shapes_and_equivariance():
+    h0, h1, edge, rel, mask, _ = _se3_inputs()
+    model = TFN(
+        num_layers=2, num_channels=8, num_degrees=2,
+        l0_in_features=D_NODE, l1_in_features=3,
+        l0_out_features=D_STATE, l1_out_features=3,
+        num_edge_features=D_EDGE,
+    )
+    params = jinit(model, jax.random.PRNGKey(0), h0, h1, edge, rel, mask)
+    out = japply(model, params, h0, h1, edge, rel, mask)
+    assert out[0].shape == (B, L, D_STATE, 1) and out[1].shape == (B, L, 3, 3)
+
+    R = jnp.asarray(so3.rot_np(0.2, 1.4, 0.8), dtype=jnp.float32)
+    out_r = japply(model, params, h0, h1 @ R.T, edge, rel @ R.T, mask)
+    np.testing.assert_allclose(np.asarray(out_r[0]), np.asarray(out[0]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_r[1]), np.asarray(out[1] @ R.T), atol=2e-3)
+
+
+def test_knn_adjacency_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(2, 14, 3, 3)) * 5.0
+    aa_idx = np.tile(np.arange(14)[None], (2, 1))
+    K, kmin = 4, 3
+    cond = np.asarray(
+        knn.knn_adjacency(jnp.asarray(xyz, jnp.float32), jnp.asarray(aa_idx), K, kmin)
+    )
+    ca = xyz[:, :, 1]
+    for b in range(2):
+        pd = np.linalg.norm(ca[b][:, None] - ca[b][None], axis=-1) + np.eye(14) * 1e3
+        for i in range(14):
+            topk = set(np.argsort(pd[i], kind="stable")[:K])
+            for j in range(14):
+                band = (abs(i - j) < kmin) and (i != j)
+                assert cond[b, i, j] == ((j in topk) or band), (b, i, j)
+
+
+def test_graph_transformer_shapes_and_mask():
+    d_in, d_out, d_edge, h = 12, 8, 6, 2
+    node = jax.random.normal(jax.random.PRNGKey(0), (B, L, d_in))
+    edge = jax.random.normal(jax.random.PRNGKey(1), (B, L, L, d_edge))
+    mod = GraphTransformer(d_in, d_out, d_edge, h, p_dropout=0.0)
+    out, params = jinit_out(mod, jax.random.PRNGKey(2), node, edge, None)
+    assert out.shape == (B, L, d_out * h)
+
+    # mask blocks information flow: isolate node 0 from all others
+    mask = jnp.ones((B, L, L))
+    mask = mask.at[:, 0, 1:].set(0.0)
+    out1 = japply(mod, params, node, edge, mask)
+    node2 = node.at[:, 1:].add(2.0)
+    out2 = japply(mod, params, node2.at[:, 0].set(node[:, 0]), edge, mask)
+    np.testing.assert_allclose(np.asarray(out1[:, 0]), np.asarray(out2[:, 0]), atol=1e-5)
+
+
+def test_graph_transformer_block_shape():
+    d_node, d_edge = 12, 6
+    node = jax.random.normal(jax.random.PRNGKey(0), (B, L, d_node))
+    edge = jax.random.normal(jax.random.PRNGKey(1), (B, L, L, d_edge))
+    mod = GraphTransformerBlock(d_node, d_node, d_edge, 2)
+    out, _ = jinit_out(mod, jax.random.PRNGKey(2), node, edge, None)
+    assert out.shape == (B, L, d_node)
+
+
+def test_initial_coord_generation_shape():
+    d_msa, d_pair = 24, 16
+    N = 4
+    msa = jax.random.normal(jax.random.PRNGKey(0), (B, N, L, d_msa))
+    pair = jax.random.normal(jax.random.PRNGKey(1), (B, L, L, d_pair))
+    seq1h = jax.nn.one_hot(jnp.zeros((B, L), jnp.int32), 21)
+    aa_idx = jnp.tile(jnp.arange(L)[None], (B, 1))
+    mod = InitialCoordGenerationWithMsaAndPair(
+        d_msa=d_msa, d_pair=d_pair, d_node=D_NODE, d_edge=D_EDGE, n_layers=2
+    )
+    out, _ = jinit_out(mod, jax.random.PRNGKey(2), msa, pair, seq1h, aa_idx)
+    assert out.shape == (B, L, 3, 3)
+
+
+def test_coord_update_shapes_and_equivariance():
+    d_msa, d_pair = 24, 16
+    N = 4
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    msa = jax.random.normal(keys[0], (B, N, L, d_msa))
+    pair = jax.random.normal(keys[1], (B, L, L, d_pair))
+    xyz = jax.random.normal(keys[2], (B, L, 3, 3)) * 4.0
+    seq1h = jax.nn.one_hot(jnp.zeros((B, L), jnp.int32), 21)
+    aa_idx = jnp.tile(jnp.arange(L)[None], (B, 1))
+
+    mod = CoordUpdateWithMsaAndPair(
+        d_msa=d_msa, d_pair=d_pair, d_node=D_NODE, d_edge=D_EDGE,
+        d_state=D_STATE, n_neighbors=6,
+    )
+    params = jinit(mod, jax.random.PRNGKey(0), xyz, msa, pair, aa_idx, seq1h)
+    state, xyz_new = japply(mod, params, xyz, msa, pair, aa_idx, seq1h)
+    assert state.shape == (B, L, D_STATE)
+    assert xyz_new.shape == (B, L, 3, 3)
+
+    # Rigid-motion equivariance: rotating the input coords rotates the output
+    # coords (up to the same rotation), and leaves the state invariant.
+    R = jnp.asarray(so3.rot_np(0.5, 1.2, 2.6), dtype=jnp.float32)
+    state_r, xyz_r = japply(mod, params, xyz @ R.T, msa, pair, aa_idx, seq1h)
+    np.testing.assert_allclose(np.asarray(state_r), np.asarray(state), atol=3e-3)
+    np.testing.assert_allclose(
+        np.asarray(xyz_r), np.asarray(xyz_new @ R.T), atol=3e-3
+    )

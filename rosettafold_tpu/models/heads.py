@@ -1,0 +1,47 @@
+"""Prediction head: 6D inter-residue geometry logits.
+
+Re-design of /root/reference/rosettafold_pytorch/rosettafold_pytorch.py:1130-1172.
+Everything stays NHWC (channels-last); theta/phi read the asymmetric pair map,
+dist/omega the symmetrized one. Four dilated-conv ResNet towers.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .resnet import ResNet
+
+
+class PredictionHead(nn.Module):
+    """pair (B, L, L, C) -> dict of logits:
+    theta (37), phi (19) from asymmetric; dist (37), omega (37) from symmetrized."""
+
+    in_channels: int
+    n_res_blocks: int = 4
+    p_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, pair, *, deterministic: bool = True):
+        x = nn.LayerNorm(epsilon=1e-5, name="proj_ln")(pair)
+        x = nn.Dense(self.in_channels, name="proj")(x)
+        x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
+
+        def head(n_bins, name):
+            return ResNet(
+                self.n_res_blocks,
+                self.in_channels,
+                self.in_channels,
+                n_bins,
+                p_dropout=self.p_dropout,
+                name=name,
+            )
+
+        logits = {}
+        logits["theta"] = head(37, "theta_head")(x, deterministic=deterministic)
+        logits["phi"] = head(19, "phi_head")(x, deterministic=deterministic)
+
+        x_sym = 0.5 * (x + jnp.swapaxes(x, 1, 2))
+        logits["dist"] = head(37, "dist_head")(x_sym, deterministic=deterministic)
+        logits["omega"] = head(37, "omega_head")(x_sym, deterministic=deterministic)
+        return logits

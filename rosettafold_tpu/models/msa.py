@@ -106,6 +106,7 @@ class EncoderLayer(nn.Module):
     return_att: bool = False
     generalized_attention: bool = False
     feature_seed: int = 42
+    performer_dim_head: int = 64
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -125,6 +126,7 @@ class EncoderLayer(nn.Module):
             attn = PerformerSelfAttention(
                 dim=self.d_msa,
                 heads=self.n_heads,
+                dim_head=self.performer_dim_head,
                 p_dropout=self.p_dropout,
                 generalized_attention=self.generalized_attention,
                 feature_seed=self.feature_seed,
@@ -167,6 +169,7 @@ class MsaUpdateUsingSelfAttention(nn.Module):
     p_dropout: float = 0.1
     n_encoder_layers: int = 4
     feature_seed: int = 42
+    performer_dim_head: int = 64
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -194,6 +197,7 @@ class MsaUpdateUsingSelfAttention(nn.Module):
                 self.p_dropout,
                 performer=True,
                 feature_seed=self.feature_seed + i,
+                performer_dim_head=self.performer_dim_head,
                 name=f"sequence_wise_{i}",
             )(x, deterministic=deterministic)
         x = jnp.swapaxes(x, 1, 2)

@@ -115,12 +115,14 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
     n_heads: int = 8
     p_dropout: float = 0.1
     feature_seed: int = 42
+    performer_dim_head: int = 64
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         row_attn = PerformerSelfAttention(
             dim=self.d_pair,
             heads=self.n_heads,
+            dim_head=self.performer_dim_head,
             p_dropout=self.p_dropout,
             generalized_attention=True,
             feature_seed=self.feature_seed,
@@ -129,6 +131,7 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
         col_attn = PerformerSelfAttention(
             dim=self.d_pair,
             heads=self.n_heads,
+            dim_head=self.performer_dim_head,
             p_dropout=self.p_dropout,
             generalized_attention=True,
             feature_seed=self.feature_seed + 1,
@@ -161,6 +164,7 @@ class PairUpdateWithAxialAttention(nn.Module):
     p_dropout: float = 0.1
     n_encoder_layers: int = 4
     feature_seed: int = 42
+    performer_dim_head: int = 64
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -171,6 +175,7 @@ class PairUpdateWithAxialAttention(nn.Module):
                 self.n_heads,
                 self.p_dropout,
                 feature_seed=self.feature_seed + 2 * i,
+                performer_dim_head=self.performer_dim_head,
                 name=f"layer_{i}",
             )(x, deterministic=deterministic)
         return x

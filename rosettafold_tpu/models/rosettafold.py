@@ -1,0 +1,280 @@
+"""The three-track RoseTTAFold model: blocks and top-level API.
+
+Re-design of /root/reference/rosettafold_pytorch/rosettafold_pytorch.py:923-1298.
+Public contract (reference :1273-1289): apply(params, msa, seq, aa_idx) ->
+(logits{theta,phi,omega,dist}, xyz, plddt) with
+  msa (B, N, L) int tokens, seq (B, L) int, aa_idx (B, L) int,
+  logits[*] (B, L, L, bins), xyz (B, L, 3, 3), plddt (B, L).
+
+Block hyperparameters are hardwired exactly like the reference: 12 tied/MSA
+heads, d_proj=32, 8 axial heads, 4 pair->MSA heads, distance bins [8,12,16,20],
+per-block n_neighbors with the final block fixed at 32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import RoseTTAFoldConfig
+from .embeddings import MsaEmbedding, PairEmbedding
+from .heads import PredictionHead
+from .msa import (
+    MsaUpdateUsingSelfAttention,
+    MsaUpdateWithPair,
+    MsaUpdateWithPairAndCoord,
+)
+from .pair import PairUpdateWithAxialAttention, PairUpdateWithMsa
+from .structure import CoordUpdateWithMsaAndPair, InitialCoordGenerationWithMsaAndPair
+
+
+class TwoTrackBlock(nn.Module):
+    """MSA self-att -> pair-from-MSA -> pair axial att -> MSA-from-pair
+    (reference :923-968)."""
+
+    d_msa: int
+    d_pair: int
+    n_encoder_layers: int
+    p_dropout: float = 0.1
+    feature_seed: int = 42
+    performer_dim_head: int = 64
+
+    @nn.compact
+    def __call__(self, msa, pair, *, deterministic: bool = True):
+        msa, att = MsaUpdateUsingSelfAttention(
+            d_msa=self.d_msa,
+            d_ff=self.d_msa * 4,
+            n_heads=12,
+            p_dropout=self.p_dropout,
+            n_encoder_layers=self.n_encoder_layers,
+            feature_seed=self.feature_seed,
+            performer_dim_head=self.performer_dim_head,
+            name="msa_update_using_self_att",
+        )(msa, deterministic=deterministic)
+        pair = PairUpdateWithMsa(
+            d_msa=self.d_msa,
+            d_proj=32,
+            d_pair=self.d_pair,
+            n_heads=12,
+            name="pair_update_with_msa",
+        )(msa, pair, att, deterministic=deterministic)
+        pair = PairUpdateWithAxialAttention(
+            d_pair=self.d_pair,
+            d_ff=self.d_pair * 4,
+            n_heads=8,
+            p_dropout=self.p_dropout,
+            n_encoder_layers=self.n_encoder_layers,
+            feature_seed=self.feature_seed + 100,
+            performer_dim_head=self.performer_dim_head,
+            name="pair_update_with_axial_attention",
+        )(pair, deterministic=deterministic)
+        msa = MsaUpdateWithPair(
+            d_msa=self.d_msa,
+            d_pair=self.d_pair,
+            n_heads=4,
+            n_encoder_layers=self.n_encoder_layers,
+            p_dropout=self.p_dropout,
+            name="msa_update_with_pair",
+        )(msa, pair, deterministic=deterministic)
+        return msa, pair
+
+
+class ThreeTrackBlock(nn.Module):
+    """Two-track ops + SE(3) coordinate update + structure->MSA feedback
+    (reference :971-1046)."""
+
+    d_msa: int
+    d_pair: int
+    d_node: int
+    d_edge: int
+    d_state: int
+    n_encoder_layers: int
+    n_neighbors: int
+    p_dropout: float = 0.1
+    feature_seed: int = 42
+    performer_dim_head: int = 64
+
+    @nn.compact
+    def __call__(self, msa, pair, xyz, seq_onehot, aa_idx, *, deterministic: bool = True):
+        msa, pair = TwoTrackBlock(
+            self.d_msa,
+            self.d_pair,
+            self.n_encoder_layers,
+            self.p_dropout,
+            feature_seed=self.feature_seed,
+            performer_dim_head=self.performer_dim_head,
+            name="two_track",
+        )(msa, pair, deterministic=deterministic)
+
+        state, xyz = CoordUpdateWithMsaAndPair(
+            d_msa=self.d_msa,
+            d_pair=self.d_pair,
+            d_node=self.d_node,
+            d_edge=self.d_edge,
+            d_state=self.d_state,
+            n_neighbors=self.n_neighbors,
+            p_dropout=self.p_dropout,
+            name="coord_update_with_msa_and_pair",
+        )(xyz, msa, pair, aa_idx, seq_onehot, deterministic=deterministic)
+
+        msa = MsaUpdateWithPairAndCoord(
+            d_msa=self.d_msa,
+            d_state=self.d_state,
+            d_trfm_inner=32,
+            d_ff=self.d_msa * 4,
+            distance_bins=(8, 12, 16, 20),
+            p_dropout=self.p_dropout,
+            name="msa_update_with_pair_and_coord",
+        )(xyz, state, msa, deterministic=deterministic)
+
+        return msa, pair, xyz
+
+
+class FinalBlock(nn.Module):
+    """ThreeTrackBlock minus the structure->MSA feedback, plus the plDDT head
+    (reference :1049-1127). n_neighbors fixed at 32 by the caller."""
+
+    d_msa: int
+    d_pair: int
+    d_node: int
+    d_edge: int
+    d_state: int
+    n_encoder_layers: int
+    n_neighbors: int = 32
+    p_dropout: float = 0.1
+    feature_seed: int = 42
+    performer_dim_head: int = 64
+
+    @nn.compact
+    def __call__(self, msa, pair, xyz, seq_onehot, aa_idx, *, deterministic: bool = True):
+        msa, pair = TwoTrackBlock(
+            self.d_msa,
+            self.d_pair,
+            self.n_encoder_layers,
+            self.p_dropout,
+            feature_seed=self.feature_seed,
+            performer_dim_head=self.performer_dim_head,
+            name="two_track",
+        )(msa, pair, deterministic=deterministic)
+
+        state, xyz = CoordUpdateWithMsaAndPair(
+            d_msa=self.d_msa,
+            d_pair=self.d_pair,
+            d_node=self.d_node,
+            d_edge=self.d_edge,
+            d_state=self.d_state,
+            n_neighbors=self.n_neighbors,
+            p_dropout=self.p_dropout,
+            name="coord_update_with_msa_and_pair",
+        )(xyz, msa, pair, aa_idx, seq_onehot, deterministic=deterministic)
+
+        plddt = nn.Dense(1, name="plddt_head")(state)[..., 0]  # (B, L)
+        return msa, pair, xyz, plddt
+
+
+class RoseTTAFold(nn.Module):
+    """Top-level three-track model (reference :1175-1289).
+
+    Construct from a RoseTTAFoldConfig:
+        model = RoseTTAFold(config=RoseTTAFoldConfig())
+        params = model.init(rng, msa, seq, aa_idx)
+        logits, xyz, plddt = model.apply(params, msa, seq, aa_idx)
+    """
+
+    config: RoseTTAFoldConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        msa,
+        seq,
+        aa_idx,
+        template: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+    ) -> Tuple[dict, jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+
+        msa_emb = MsaEmbedding(
+            d_input=cfg.d_input,
+            d_msa=cfg.d_msa,
+            max_len=cfg.max_len,
+            p_pe_drop=cfg.p_dropout,
+            name="msa_emb",
+        )(msa, aa_idx, deterministic=deterministic)
+
+        pair = PairEmbedding(
+            d_input=cfg.d_input,
+            d_pair=cfg.d_pair,
+            max_len=cfg.max_len,
+            p_pe_drop=cfg.p_dropout,
+            use_template=cfg.use_template,
+            d_template=cfg.d_template,
+            name="pair_emb",
+        )(seq, aa_idx, template, deterministic=deterministic)
+
+        seq_onehot = jax.nn.one_hot(seq, cfg.d_input, dtype=msa_emb.dtype)
+
+        x = msa_emb
+        for i in range(cfg.n_two_track_blocks):
+            x, pair = TwoTrackBlock(
+                cfg.d_msa,
+                cfg.d_pair,
+                cfg.n_encoder_layers,
+                cfg.p_dropout,
+                feature_seed=42 + 1000 * i,
+                performer_dim_head=cfg.performer.dim_head,
+                name=f"two_track_{i}",
+            )(x, pair, deterministic=deterministic)
+
+        xyz = InitialCoordGenerationWithMsaAndPair(
+            d_msa=cfg.d_msa,
+            d_pair=cfg.d_pair,
+            d_node=cfg.d_node,
+            d_edge=cfg.d_edge,
+            n_heads=4,
+            n_layers=4,
+            p_dropout=cfg.p_dropout,
+            name="initial_coords",
+        )(x, pair, seq_onehot, aa_idx, deterministic=deterministic)
+
+        for i in range(cfg.n_three_track_blocks - 1):
+            x, pair, xyz = ThreeTrackBlock(
+                cfg.d_msa,
+                cfg.d_pair,
+                cfg.d_node,
+                cfg.d_edge,
+                cfg.d_state,
+                cfg.n_encoder_layers,
+                n_neighbors=cfg.n_neighbors[i],
+                p_dropout=cfg.p_dropout,
+                feature_seed=42 + 1000 * (cfg.n_two_track_blocks + i),
+                performer_dim_head=cfg.performer.dim_head,
+                name=f"three_track_{i}",
+            )(x, pair, xyz, seq_onehot, aa_idx, deterministic=deterministic)
+
+        x, pair, xyz, plddt = FinalBlock(
+            cfg.d_msa,
+            cfg.d_pair,
+            cfg.d_node,
+            cfg.d_edge,
+            cfg.d_state,
+            cfg.n_encoder_layers,
+            n_neighbors=32,
+            p_dropout=cfg.p_dropout,
+            feature_seed=42 + 9000,
+            performer_dim_head=cfg.performer.dim_head,
+            name="final_block",
+        )(x, pair, xyz, seq_onehot, aa_idx, deterministic=deterministic)
+
+        logits = PredictionHead(
+            in_channels=cfg.d_pair,
+            n_res_blocks=4,
+            p_dropout=cfg.p_dropout,
+            name="prediction_head",
+        )(pair, deterministic=deterministic)
+
+        return logits, xyz, plddt

@@ -29,5 +29,8 @@ def jinit_out(mod, key, *args, **kwargs):
     return _cached("init_with_output", mod, **kwargs)(key, *args)
 
 
-def japply(mod, params, *args, **kwargs):
-    return _cached("apply", mod, **kwargs)(params, *args)
+def japply(mod, params, *args, rngs=None, **kwargs):
+    fn = _cached("apply", mod, **kwargs)
+    if rngs is not None:
+        return fn(params, *args, rngs=rngs)
+    return fn(params, *args)

@@ -14,6 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (import after env setup)
 
+# A sitecustomize in this image forces JAX_PLATFORMS=axon (the TPU tunnel); the
+# config update below overrides it so tests run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: compile times dominate test wall-clock here.
 jax.config.update("jax_compilation_cache_dir", "/tmp/rftpu_jax_cache")

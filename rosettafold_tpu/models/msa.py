@@ -64,6 +64,7 @@ class SoftTiedAttentionOverResidues(nn.Module):
     n_heads: int = 12
     p_dropout: float = 0.1
     return_att: bool = False
+    attn_impl: str = "xla"  # "xla" | "pallas" (fused flash kernel; no att map)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -81,10 +82,24 @@ class SoftTiedAttentionOverResidues(nn.Module):
         )(x, deterministic=deterministic)  # (B, N, h, L, 1)
         q = q * jnp.transpose(w, (0, 1, 3, 2, 4)) * scale  # (B, N, L, h, d)
 
-        logits = jnp.einsum("bnihd,bnjhd->bhij", q, k)
-        att = nn.softmax(logits, axis=-1)
+        use_pallas = (
+            self.attn_impl == "pallas" and not self.return_att and L % 128 == 0
+        )
+        if use_pallas:
+            from ..ops.pallas.tied_attention import tied_flash_attention
 
-        out = jnp.einsum("bhij,bnjhd->bnihd", att, v).reshape(B, N, L, self.d_msa)
+            def fold(t):  # (B, N, L, h, d) -> (B*h, L, N*d)
+                t = jnp.transpose(t, (0, 3, 2, 1, 4))
+                return t.reshape(B * h, L, N * d_head)
+
+            out = tied_flash_attention(fold(q), fold(k), fold(v))
+            out = out.reshape(B, h, L, N, d_head)
+            out = jnp.transpose(out, (0, 3, 2, 1, 4)).reshape(B, N, L, self.d_msa)
+        else:
+            logits = jnp.einsum("bnihd,bnjhd->bhij", q, k)
+            att = nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhij,bnjhd->bnihd", att, v).reshape(B, N, L, self.d_msa)
+
         out = nn.Dense(self.d_msa, name="to_out")(out)
         out = nn.Dropout(self.p_dropout)(out, deterministic=deterministic)
 
@@ -107,6 +122,7 @@ class EncoderLayer(nn.Module):
     generalized_attention: bool = False
     feature_seed: int = 42
     performer_dim_head: int = 64
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -116,6 +132,7 @@ class EncoderLayer(nn.Module):
                 self.n_heads,
                 self.p_dropout,
                 return_att=self.return_att,
+                attn_impl=self.attn_impl,
                 name="attn",
             )
         elif self.performer:
@@ -170,20 +187,29 @@ class MsaUpdateUsingSelfAttention(nn.Module):
     n_encoder_layers: int = 4
     feature_seed: int = 42
     performer_dim_head: int = 64
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
         att = None
         for i in range(self.n_encoder_layers):
-            x, att = EncoderLayer(
+            # Only the LAST tied layer's attention map feeds the pair update
+            # (reference :400-401); earlier layers may use the fused kernel.
+            need_att = i == self.n_encoder_layers - 1
+            layer = EncoderLayer(
                 self.d_msa,
                 self.d_ff,
                 self.n_heads,
                 self.p_dropout,
                 tied=True,
-                return_att=True,
+                return_att=need_att,
+                attn_impl=self.attn_impl,
                 name=f"residue_wise_{i}",
-            )(x, deterministic=deterministic)
+            )
+            if need_att:
+                x, att = layer(x, deterministic=deterministic)
+            else:
+                x = layer(x, deterministic=deterministic)
 
         # Sequence-wise attention: attend over N for each residue position. The
         # reference transposes to (b, l, n, d) and flattens rows; our Performer

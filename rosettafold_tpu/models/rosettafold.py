@@ -41,6 +41,7 @@ class TwoTrackBlock(nn.Module):
     p_dropout: float = 0.1
     feature_seed: int = 42
     performer_dim_head: int = 64
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, msa, pair, *, deterministic: bool = True):
@@ -52,6 +53,7 @@ class TwoTrackBlock(nn.Module):
             n_encoder_layers=self.n_encoder_layers,
             feature_seed=self.feature_seed,
             performer_dim_head=self.performer_dim_head,
+            attn_impl=self.attn_impl,
             name="msa_update_using_self_att",
         )(msa, deterministic=deterministic)
         pair = PairUpdateWithMsa(
@@ -96,6 +98,7 @@ class ThreeTrackBlock(nn.Module):
     p_dropout: float = 0.1
     feature_seed: int = 42
     performer_dim_head: int = 64
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, msa, pair, xyz, seq_onehot, aa_idx, *, deterministic: bool = True):
@@ -106,6 +109,7 @@ class ThreeTrackBlock(nn.Module):
             self.p_dropout,
             feature_seed=self.feature_seed,
             performer_dim_head=self.performer_dim_head,
+            attn_impl=self.attn_impl,
             name="two_track",
         )(msa, pair, deterministic=deterministic)
 
@@ -147,6 +151,7 @@ class FinalBlock(nn.Module):
     p_dropout: float = 0.1
     feature_seed: int = 42
     performer_dim_head: int = 64
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, msa, pair, xyz, seq_onehot, aa_idx, *, deterministic: bool = True):
@@ -157,6 +162,7 @@ class FinalBlock(nn.Module):
             self.p_dropout,
             feature_seed=self.feature_seed,
             performer_dim_head=self.performer_dim_head,
+            attn_impl=self.attn_impl,
             name="two_track",
         )(msa, pair, deterministic=deterministic)
 
@@ -227,6 +233,7 @@ class RoseTTAFold(nn.Module):
                 cfg.p_dropout,
                 feature_seed=42 + 1000 * i,
                 performer_dim_head=cfg.performer.dim_head,
+                attn_impl=cfg.attn_impl,
                 name=f"two_track_{i}",
             )(x, pair, deterministic=deterministic)
 
@@ -253,6 +260,7 @@ class RoseTTAFold(nn.Module):
                 p_dropout=cfg.p_dropout,
                 feature_seed=42 + 1000 * (cfg.n_two_track_blocks + i),
                 performer_dim_head=cfg.performer.dim_head,
+                attn_impl=cfg.attn_impl,
                 name=f"three_track_{i}",
             )(x, pair, xyz, seq_onehot, aa_idx, deterministic=deterministic)
 
@@ -267,6 +275,7 @@ class RoseTTAFold(nn.Module):
             p_dropout=cfg.p_dropout,
             feature_seed=42 + 9000,
             performer_dim_head=cfg.performer.dim_head,
+            attn_impl=cfg.attn_impl,
             name="final_block",
         )(x, pair, xyz, seq_onehot, aa_idx, deterministic=deterministic)
 

@@ -1,0 +1,132 @@
+"""Fused tied-row-attention kernel (Pallas, flash-style).
+
+The tied attention (reference rosettafold_pytorch.py:220-267) shares one L x L
+attention map across all N MSA rows:
+
+    logits[b,h,i,j] = sum_{n,d} qw[b,n,i,h,d] * k[b,n,j,h,d]
+    out[b,n,i,h,:] = sum_j softmax_j(logits)[b,h,i,j] * v[b,n,j,h,:]
+
+The contraction over (n, d) makes the logits a single MXU matmul with reduction
+width N*d. This kernel tiles i (parallel) and j (online-softmax reduction) so
+the (L, L) map never leaves VMEM — at L=1024 the XLA path materializes
+~B*h*L^2*4 bytes twice (logits + probs) in HBM; here it is O(block^2).
+
+Layouts (prepared by the caller):
+    q  (BH, L, ND)   queries pre-scaled by poswise weights and 1/sqrt(d)
+    k  (BH, L, ND)
+    v  (BH, L, NDv)  values with rows flattened into the channel axis
+    -> out (BH, L, NDv)
+
+Backward: custom VJP that recomputes attention with plain einsums (same memory
+profile as the XLA forward; fine for training today, kernelizable later).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (bq, ND)
+    k = k_ref[0]  # (bk, ND)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+
+    m_prev = m_ref[...]  # (bq, 128)
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)  # (bq, 1)
+    m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> (bq, 128)
+    alpha = jnp.exp(m_prev - m_next)  # (bq, 128)
+    p = jnp.exp(s - m_next[:, :1])
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[...] = m_next
+    l_ref[...] = l_next
+
+    pv = jax.lax.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )  # (bq, NDv)
+    acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _store():
+        o_ref[0] = (acc_ref[...] / l_ref[..., :1]).astype(o_ref.dtype)
+
+
+def _forward(q, k, v, block_q: int, block_k: int):
+    BH, L, ND = q.shape
+    NDv = v.shape[-1]
+    block_q = min(block_q, L)
+    block_k = min(block_k, L)
+    assert L % block_q == 0 and L % block_k == 0, (L, block_q, block_k)
+
+    grid = (BH, L // block_q, L // block_k)
+    backend = jax.default_backend()
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((BH, L, NDv), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, ND), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, block_k, ND), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, block_k, NDv), lambda b, i, j: (b, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, NDv), lambda b, i, j: (b, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, NDv), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=(backend not in ("tpu", "axon")),
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def tied_flash_attention(q, k, v, block_q: int = 1024, block_k: int = 1024):
+    """softmax(q @ k^T over the last axis) @ v with flash tiling.
+
+    q, k: (BH, L, ND); v: (BH, L, NDv) -> (BH, L, NDv).
+    Default blocks are 1024 (measured fastest at L<=1024 on v5e; the VMEM
+    footprint bq*bk*4 = 4 MB still fits); they clamp to L for shorter rows and
+    the j axis tiles for longer ones."""
+    return _forward(q, k, v, block_q, block_k)
+
+
+def _fwd(q, k, v, block_q, block_k):
+    return _forward(q, k, v, block_q, block_k), (q, k, v)
+
+
+def _bwd(block_q, block_k, res, g):
+    q, k, v = res
+    s = jnp.einsum("bie,bje->bij", q, k, precision=jax.lax.Precision.HIGHEST)
+    att = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bij,bid->bjd", att, g)
+    datt = jnp.einsum("bid,bjd->bij", g, v)
+    ds = att * (datt - jnp.sum(datt * att, axis=-1, keepdims=True))
+    dq = jnp.einsum("bij,bje->bie", ds, k)
+    dk = jnp.einsum("bij,bie->bje", ds, q)
+    return dq, dk, dv
+
+
+tied_flash_attention.defvjp(_fwd, _bwd)

@@ -1,0 +1,94 @@
+"""Inference pipeline + CLI: A3M in, structure + 6D geometry out.
+
+The reference exposes only the bare nn.Module (no CLI, no pipeline; SURVEY.md §1).
+Usage:
+    python -m rosettafold_tpu.predict --a3m target.a3m --out out.pdb \
+        [--npz out.npz] [--params ckpt_dir] [--n-seq 64] [--crop 256]
+
+Without --params, randomly-initialized weights are used (the reference ships no
+trained weights either; the pipeline is the capability under test).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import RoseTTAFoldConfig
+from .data.a3m import load_a3m, msa_features
+from .data.pdb import write_pdb
+from .models.rosettafold import RoseTTAFold
+
+
+def predict(
+    a3m_path: str,
+    params_path: str = None,
+    n_seq: int = 64,
+    crop: int = None,
+    config: RoseTTAFoldConfig = None,
+):
+    """Run the full pipeline; returns (logits dict, xyz, plddt, inputs)."""
+    tokens = load_a3m(a3m_path)
+    msa, seq, aa_idx = msa_features(tokens, n_seq=n_seq, crop_len=crop)
+    L = msa.shape[-1]
+
+    cfg = config or RoseTTAFoldConfig(max_len=max(260, L))
+    model = RoseTTAFold(config=cfg)
+
+    msa_j, seq_j, aa_j = jnp.asarray(msa), jnp.asarray(seq), jnp.asarray(aa_idx)
+    if params_path:
+        from .train.checkpoint import restore
+
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), msa_j, seq_j, aa_j)
+        target = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        variables = restore(params_path, target=target)
+    else:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), msa_j, seq_j, aa_j)
+
+    logits, xyz, plddt = jax.jit(model.apply)(variables, msa_j, seq_j, aa_j)
+    return logits, xyz, plddt, (msa, seq, aa_idx)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="rosettafold_tpu inference")
+    p.add_argument("--a3m", required=True)
+    p.add_argument("--out", required=True, help="output PDB path")
+    p.add_argument("--npz", default=None, help="optional 6D-logit npz output")
+    p.add_argument("--params", default=None, help="checkpoint dir (else random init)")
+    p.add_argument("--n-seq", type=int, default=64)
+    p.add_argument("--crop", type=int, default=None)
+    args = p.parse_args(argv)
+
+    t0 = time.perf_counter()
+    logits, xyz, plddt, (msa, seq, aa_idx) = predict(
+        args.a3m, args.params, args.n_seq, args.crop
+    )
+    elapsed = time.perf_counter() - t0
+
+    plddt01 = np.asarray(jax.nn.sigmoid(plddt))[0]
+    write_pdb(args.out, np.asarray(xyz)[0], seq[0], plddt01)
+    if args.npz:
+        np.savez_compressed(
+            args.npz, **{k: np.asarray(v)[0] for k, v in logits.items()}
+        )
+    print(
+        json.dumps(
+            {
+                "a3m": args.a3m,
+                "n_seq": int(msa.shape[1]),
+                "L": int(msa.shape[2]),
+                "mean_plddt": float(plddt01.mean()),
+                "elapsed_s": round(elapsed, 2),
+                "out": args.out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,9 @@ class RoseTTAFoldConfig:
     # "dense": masked L x L attention for the SE(3) module (exact, best for L<=384).
     # "gather": (B, L, K) neighborhood gather path for long sequences.
     se3_impl: str = "dense"
+    # Row-chunking for the long-sequence path (bounds the outer-product and
+    # FAVOR+ feature intermediates to O(chunk * L)); None = no chunking.
+    long_chunk: Optional[int] = None
 
     def n_neighbors_for_block(self, i: int) -> int:
         return self.n_neighbors[i]

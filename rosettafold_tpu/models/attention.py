@@ -45,6 +45,9 @@ class PerformerSelfAttention(nn.Module):
     feature_seed: int = 42
     kernel_eps: float = 1e-3
     softmax_eps: float = 1e-4
+    # max rows (second-to-last batch axis) per chunk: bounds the FAVOR+ feature
+    # tensors (rows, h, L, nb_features) for the long-sequence axial path
+    chunk_rows: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -55,25 +58,36 @@ class PerformerSelfAttention(nn.Module):
             favor.gaussian_orthogonal_matrix(m, self.dim_head, seed=self.feature_seed)
         )
 
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(x)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(x)
+        to_q = nn.Dense(inner, use_bias=False, name="to_q")
+        to_k = nn.Dense(inner, use_bias=False, name="to_k")
+        to_v = nn.Dense(inner, use_bias=False, name="to_v")
+        to_out = nn.Dense(self.dim, name="to_out")
 
         def split_heads(t):  # (..., L, h*dh) -> (..., h, L, dh)
             t = t.reshape(*t.shape[:-1], self.heads, self.dim_head)
             return jnp.moveaxis(t, -2, -3)
 
-        q, k, v = split_heads(q), split_heads(k), split_heads(v)
-        out = favor.favor_attention(
-            q,
-            k,
-            v,
-            projection,
-            generalized=self.generalized_attention,
-            kernel_eps=self.kernel_eps,
-            softmax_eps=self.softmax_eps,
-        )
-        out = jnp.moveaxis(out, -3, -2)  # (..., L, h, dh)
-        out = out.reshape(*out.shape[:-2], inner)
-        out = nn.Dense(self.dim, name="to_out")(out)
+        def block(xc):
+            q, k, v = split_heads(to_q(xc)), split_heads(to_k(xc)), split_heads(to_v(xc))
+            out = favor.favor_attention(
+                q,
+                k,
+                v,
+                projection,
+                generalized=self.generalized_attention,
+                kernel_eps=self.kernel_eps,
+                softmax_eps=self.softmax_eps,
+            )
+            out = jnp.moveaxis(out, -3, -2)  # (..., L, h, dh)
+            return to_out(out.reshape(*out.shape[:-2], inner))
+
+        c = self.chunk_rows
+        if c is not None and x.ndim >= 3 and x.shape[-3] > c:
+            rows = x.shape[-3]
+            outs = [
+                block(x[..., i : i + c, :, :]) for i in range(0, rows, c)
+            ]
+            out = jnp.concatenate(outs, axis=-3)
+        else:
+            out = block(x)
         return nn.Dropout(self.p_dropout)(out, deterministic=deterministic)

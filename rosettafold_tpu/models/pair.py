@@ -31,14 +31,28 @@ class OuterProductMean(nn.Module):
 
     in_features: int
     out_features: int
+    # rows of i per chunk; bounds the (B, chunk, L, u*v) intermediate so the
+    # full (B, L, L, u*v) outer product never materializes (long-sequence path)
+    chunk_size: int = None
 
     @nn.compact
     def __call__(self, x, y=None):
         y = x if y is None else y
-        op = jnp.einsum("bniu,bnjv->bijuv", x, y)
-        op = op.reshape(*op.shape[:3], self.in_features**2)
-        op = nn.LayerNorm(epsilon=1e-5, name="ln")(op)
-        return nn.Dense(self.out_features, name="to_out")(op)
+        L = x.shape[2]
+        ln = nn.LayerNorm(epsilon=1e-5, name="ln")
+        dense = nn.Dense(self.out_features, name="to_out")
+
+        def block(x_rows):
+            op = jnp.einsum("bniu,bnjv->bijuv", x_rows, y)
+            op = op.reshape(*op.shape[:3], self.in_features**2)
+            return dense(ln(op))
+
+        if self.chunk_size is None or L <= self.chunk_size:
+            return block(x)
+        c = self.chunk_size
+        # static unrolled loop; submodule params are shared across chunks
+        outs = [block(x[:, :, i : i + c]) for i in range(0, L, c)]
+        return jnp.concatenate(outs, axis=1)
 
 
 class PairUpdateWithMsa(nn.Module):
@@ -54,6 +68,7 @@ class PairUpdateWithMsa(nn.Module):
     d_pair: int = 288
     n_heads: int = 12
     p_dropout: float = 0.1
+    long_chunk: int = None
 
     @nn.compact
     def __call__(self, msa, pair, att, *, deterministic: bool = True):
@@ -69,9 +84,10 @@ class PairUpdateWithMsa(nn.Module):
         )(m, deterministic=deterministic)  # (B, N, 1, L, 1)
         w = w[:, :, 0]  # (B, N, L, 1)
 
-        coevol = OuterProductMean(self.d_proj, self.d_pair, name="outer_product_mean")(
-            m, m * w
-        )
+        coevol = OuterProductMean(
+            self.d_proj, self.d_pair, chunk_size=self.long_chunk,
+            name="outer_product_mean",
+        )(m, m * w)
         coevol = nn.LayerNorm(epsilon=1e-5, name="ln_coevol_feat")(coevol)
 
         msa_1d = jnp.concatenate([jnp.sum(m, axis=1), m[:, 0]], axis=-1)  # (B, L, 2p)
@@ -116,6 +132,7 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
     p_dropout: float = 0.1
     feature_seed: int = 42
     performer_dim_head: int = 64
+    long_chunk: int = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -126,6 +143,7 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
             p_dropout=self.p_dropout,
             generalized_attention=True,
             feature_seed=self.feature_seed,
+            chunk_rows=self.long_chunk,
             name="row_attn",
         )
         col_attn = PerformerSelfAttention(
@@ -135,6 +153,7 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
             p_dropout=self.p_dropout,
             generalized_attention=True,
             feature_seed=self.feature_seed + 1,
+            chunk_rows=self.long_chunk,
             name="col_attn",
         )
 
@@ -165,6 +184,7 @@ class PairUpdateWithAxialAttention(nn.Module):
     n_encoder_layers: int = 4
     feature_seed: int = 42
     performer_dim_head: int = 64
+    long_chunk: int = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -176,6 +196,7 @@ class PairUpdateWithAxialAttention(nn.Module):
                 self.p_dropout,
                 feature_seed=self.feature_seed + 2 * i,
                 performer_dim_head=self.performer_dim_head,
+                long_chunk=self.long_chunk,
                 name=f"layer_{i}",
             )(x, deterministic=deterministic)
         return x

@@ -42,6 +42,7 @@ class TwoTrackBlock(nn.Module):
     feature_seed: int = 42
     performer_dim_head: int = 64
     attn_impl: str = "xla"
+    long_chunk: int = None
 
     @nn.compact
     def __call__(self, msa, pair, *, deterministic: bool = True):
@@ -61,6 +62,7 @@ class TwoTrackBlock(nn.Module):
             d_proj=32,
             d_pair=self.d_pair,
             n_heads=12,
+            long_chunk=self.long_chunk,
             name="pair_update_with_msa",
         )(msa, pair, att, deterministic=deterministic)
         pair = PairUpdateWithAxialAttention(
@@ -71,6 +73,7 @@ class TwoTrackBlock(nn.Module):
             n_encoder_layers=self.n_encoder_layers,
             feature_seed=self.feature_seed + 100,
             performer_dim_head=self.performer_dim_head,
+            long_chunk=self.long_chunk,
             name="pair_update_with_axial_attention",
         )(pair, deterministic=deterministic)
         msa = MsaUpdateWithPair(
@@ -99,6 +102,8 @@ class ThreeTrackBlock(nn.Module):
     feature_seed: int = 42
     performer_dim_head: int = 64
     attn_impl: str = "xla"
+    se3_impl: str = "dense"
+    long_chunk: int = None
 
     @nn.compact
     def __call__(self, msa, pair, xyz, seq_onehot, aa_idx, *, deterministic: bool = True):
@@ -110,6 +115,7 @@ class ThreeTrackBlock(nn.Module):
             feature_seed=self.feature_seed,
             performer_dim_head=self.performer_dim_head,
             attn_impl=self.attn_impl,
+            long_chunk=self.long_chunk,
             name="two_track",
         )(msa, pair, deterministic=deterministic)
 
@@ -121,6 +127,7 @@ class ThreeTrackBlock(nn.Module):
             d_state=self.d_state,
             n_neighbors=self.n_neighbors,
             p_dropout=self.p_dropout,
+            se3_impl=self.se3_impl,
             name="coord_update_with_msa_and_pair",
         )(xyz, msa, pair, aa_idx, seq_onehot, deterministic=deterministic)
 
@@ -152,6 +159,8 @@ class FinalBlock(nn.Module):
     feature_seed: int = 42
     performer_dim_head: int = 64
     attn_impl: str = "xla"
+    se3_impl: str = "dense"
+    long_chunk: int = None
 
     @nn.compact
     def __call__(self, msa, pair, xyz, seq_onehot, aa_idx, *, deterministic: bool = True):
@@ -163,6 +172,7 @@ class FinalBlock(nn.Module):
             feature_seed=self.feature_seed,
             performer_dim_head=self.performer_dim_head,
             attn_impl=self.attn_impl,
+            long_chunk=self.long_chunk,
             name="two_track",
         )(msa, pair, deterministic=deterministic)
 
@@ -174,6 +184,7 @@ class FinalBlock(nn.Module):
             d_state=self.d_state,
             n_neighbors=self.n_neighbors,
             p_dropout=self.p_dropout,
+            se3_impl=self.se3_impl,
             name="coord_update_with_msa_and_pair",
         )(xyz, msa, pair, aa_idx, seq_onehot, deterministic=deterministic)
 
@@ -234,6 +245,7 @@ class RoseTTAFold(nn.Module):
                 feature_seed=42 + 1000 * i,
                 performer_dim_head=cfg.performer.dim_head,
                 attn_impl=cfg.attn_impl,
+                long_chunk=cfg.long_chunk,
                 name=f"two_track_{i}",
             )(x, pair, deterministic=deterministic)
 
@@ -261,6 +273,8 @@ class RoseTTAFold(nn.Module):
                 feature_seed=42 + 1000 * (cfg.n_two_track_blocks + i),
                 performer_dim_head=cfg.performer.dim_head,
                 attn_impl=cfg.attn_impl,
+                se3_impl=cfg.se3_impl,
+                long_chunk=cfg.long_chunk,
                 name=f"three_track_{i}",
             )(x, pair, xyz, seq_onehot, aa_idx, deterministic=deterministic)
 
@@ -276,6 +290,8 @@ class RoseTTAFold(nn.Module):
             feature_seed=42 + 9000,
             performer_dim_head=cfg.performer.dim_head,
             attn_impl=cfg.attn_impl,
+            se3_impl=cfg.se3_impl,
+            long_chunk=cfg.long_chunk,
             name="final_block",
         )(x, pair, xyz, seq_onehot, aa_idx, deterministic=deterministic)
 

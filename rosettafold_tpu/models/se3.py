@@ -148,12 +148,17 @@ class GConvSE3Partial(nn.Module):
                 mi = self.f_in.dict[di]
                 kernel = PairwiseConv(
                     di, mi, do, mo, self.edge_dim, name=f"pc_{di}_{do}"
-                )(edge_feat, basis)  # (B,J,I,mo,2do+1,mi,2di+1)
-                # src features h[di]: (B, I, mi, 2di+1)
-                contrib = jnp.einsum("bjiomcn,bicn->bjiom", kernel, h[di],
-                                     precision=lax.Precision.HIGHEST)
+                )(edge_feat, basis)  # (B,J,S,mo,2do+1,mi,2di+1)
+                if h[di].ndim == 4:
+                    # dense layout: src features (B, I, mi, 2di+1), S == I == L
+                    contrib = jnp.einsum("bjiomcn,bicn->bjiom", kernel, h[di],
+                                         precision=lax.Precision.HIGHEST)
+                else:
+                    # gather layout: pre-gathered src features (B, J, S, mi, 2di+1)
+                    contrib = jnp.einsum("bjsomcn,bjscn->bjsom", kernel, h[di],
+                                         precision=lax.Precision.HIGHEST)
                 msg = contrib if msg is None else msg + contrib
-            out[do] = msg  # (B, J, I, mo, 2do+1)
+            out[do] = msg  # (B, J, S, mo, 2do+1)
         return out
 
 
@@ -168,9 +173,9 @@ class GConvSE3(nn.Module):
     flavor: str = "skip"
 
     @nn.compact
-    def __call__(self, h: Features, edge_feat, basis, mask) -> Features:
+    def __call__(self, h: Features, edge_feat, basis, mask, h_src: Features = None) -> Features:
         partial = GConvSE3Partial(self.f_in, self.f_out, self.edge_dim, name="partial")(
-            h, edge_feat, basis
+            h_src if h_src is not None else h, edge_feat, basis
         )
         counts = jnp.maximum(jnp.sum(mask, axis=-1), 1)  # (B, J)
         out = {}
@@ -355,17 +360,18 @@ class GSE3Res(nn.Module):
     selfint: str = "1x1"
 
     @nn.compact
-    def __call__(self, h: Features, edge_feat, basis, mask) -> Features:
+    def __call__(self, h: Features, edge_feat, basis, mask, h_src: Features = None) -> Features:
         f_mid_out = Fiber({d: int(m // self.div) for d, m in self.f_out.dict.items()})
         f_mid_in = Fiber(
             {d: m for d, m in f_mid_out.dict.items() if d in self.f_in.degrees}
         )
 
+        src = h_src if h_src is not None else h
         v = GConvSE3Partial(self.f_in, f_mid_out, self.edge_dim, name="v")(
-            h, edge_feat, basis
+            src, edge_feat, basis
         )
         k = GConvSE3Partial(self.f_in, f_mid_in, self.edge_dim, name="k")(
-            h, edge_feat, basis
+            src, edge_feat, basis
         )
         q = G1x1SE3(self.f_in, f_mid_in, name="q")(h)
 
@@ -403,8 +409,11 @@ class SE3Transformer(nn.Module):
 
     Call:
       h0 (B, L, l0_in, 1), h1 (B, L, l1_in, 3),
-      edge_feat (B, L_dst, L_src, edge_dim), rel_pos (B, L_dst, L_src, 3)
-      [= x_dst - x_src], mask (B, L_dst, L_src) bool.
+      edge_feat (B, L_dst, S, edge_dim), rel_pos (B, L_dst, S, 3)
+      [= x_dst - x_src], mask (B, L_dst, S) bool.
+    Dense layout: S == L (src axis is global). Gather layout: pass src_idx
+    (B, L_dst, S) neighbor indices; per-layer node features are gathered to
+    (B, L_dst, S, ...) so memory is O(L*S) instead of O(L^2).
     Returns {0: (B, L, l0_out, 1), 1: (B, L, l1_out, 3)}.
 
     The basis/radii are computed once per call (get_basis_and_r semantics,
@@ -425,7 +434,7 @@ class SE3Transformer(nn.Module):
     num_edge_features: int = 32
 
     @nn.compact
-    def __call__(self, h0, h1, edge_feat, rel_pos, mask) -> Features:
+    def __call__(self, h0, h1, edge_feat, rel_pos, mask, src_idx=None) -> Features:
         f_in = Fiber({0: self.l0_in_features, 1: self.l1_in_features})
         f_mid = Fiber(num_degrees=self.num_degrees, num_channels=self.num_channels)
         if self.l1_out_features > 0:
@@ -436,6 +445,14 @@ class SE3Transformer(nn.Module):
         basis = so3.equivariant_basis(rel_pos, self.num_degrees - 1)
         r = so3.edge_radii(rel_pos)
         feat = jnp.concatenate([edge_feat, r], axis=-1).astype(jnp.float32)
+
+        def gather_src(h):
+            if src_idx is None:
+                return None
+            return {
+                d: jax.vmap(lambda hb, ib: hb[ib])(h[d], src_idx)
+                for d in h
+            }
 
         h = {0: h0.astype(jnp.float32), 1: h1.astype(jnp.float32)}
         fin = f_in
@@ -449,7 +466,7 @@ class SE3Transformer(nn.Module):
                 skip="cat",
                 selfint=self.si_m,
                 name=f"res_{i}",
-            )(h, feat, basis, mask)
+            )(h, feat, basis, mask, h_src=gather_src(h))
             h = GNormBias(f_mid, name=f"norm_{i}")(h)
             fin = f_mid
         h = GSE3Res(
@@ -461,7 +478,7 @@ class SE3Transformer(nn.Module):
             skip="cat",
             selfint=self.si_e,
             name="res_out",
-        )(h, feat, basis, mask)
+        )(h, feat, basis, mask, h_src=gather_src(h))
         return h
 
 
@@ -481,7 +498,7 @@ class TFN(nn.Module):
     use_self: bool = True
 
     @nn.compact
-    def __call__(self, h0, h1, edge_feat, rel_pos, mask) -> Features:
+    def __call__(self, h0, h1, edge_feat, rel_pos, mask, src_idx=None) -> Features:
         f_in = Fiber({0: self.l0_in_features, 1: self.l1_in_features})
         f_mid = Fiber(num_degrees=self.num_degrees, num_channels=self.num_channels)
         if self.l1_out_features > 0:
@@ -493,17 +510,24 @@ class TFN(nn.Module):
         r = so3.edge_radii(rel_pos)
         feat = jnp.concatenate([edge_feat, r], axis=-1).astype(jnp.float32)
 
+        def gather_src(h):
+            if src_idx is None:
+                return None
+            return {
+                d: jax.vmap(lambda hb, ib: hb[ib])(h[d], src_idx) for d in h
+            }
+
         h = {0: h0.astype(jnp.float32), 1: h1.astype(jnp.float32)}
         fin = f_in
         for i in range(self.num_layers - 1):
             h = GConvSE3(
                 fin, f_mid, self_interaction=self.use_self,
                 edge_dim=self.num_edge_features, name=f"conv_{i}",
-            )(h, feat, basis, mask)
+            )(h, feat, basis, mask, h_src=gather_src(h))
             h = GNormSE3(f_mid, num_layers=self.num_nonlin_layers, name=f"norm_{i}")(h)
             fin = f_mid
         h = GConvSE3(
             f_mid, f_out, self_interaction=self.use_self,
             edge_dim=self.num_edge_features, name="conv_out",
-        )(h, feat, basis, mask)
+        )(h, feat, basis, mask, h_src=gather_src(h))
         return h

@@ -9,6 +9,7 @@ runs on dense masked neighborhoods (models/se3.py).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops import knn
@@ -142,6 +143,9 @@ class CoordUpdateWithMsaAndPair(nn.Module):
     d_state: int = 32
     n_neighbors: int = 64
     p_dropout: float = 0.1
+    # "dense": exact reverse-topk incoming sets on an (L, L) mask (parity path).
+    # "gather": (L, S) gathered neighborhoods, O(L*S) memory for long sequences.
+    se3_impl: str = "dense"
 
     @nn.compact
     def __call__(self, xyz, msa, pair, aa_idx, seq_onehot, *, deterministic: bool = True):
@@ -159,12 +163,24 @@ class CoordUpdateWithMsaAndPair(nn.Module):
         edge = nn.Dense(self.d_edge, name="edge_embed")(pair)
         edge = nn.LayerNorm(epsilon=1e-5, name="edge_ln")(nn.elu(edge))  # (B,i,j,de)
 
-        # Static kNN mask; dst-major layouts for the SE(3) attention.
-        cond = knn.knn_adjacency(xyz, aa_idx, self.n_neighbors)  # (B, i, j)
-        mask = knn.incoming_mask(cond)  # (B, j, i)
         ca = xyz[:, :, CA_IDX]
-        rel_pos = ca[:, :, None, :] - ca[:, None, :, :]  # [b, j, i] = x_j - x_i
-        edge_w = jnp.swapaxes(edge, 1, 2)  # w[b, j, i] = edge[b, i, j]
+        src_idx = None
+        if self.se3_impl == "gather":
+            # (B, L, S) gathered neighborhoods: O(L*S) edge tensors.
+            src_idx, mask = knn.knn_gather_indices(xyz, aa_idx, self.n_neighbors)
+            ca_src = jax.vmap(lambda c, i: c[i])(ca, src_idx)  # (B, L, S, 3)
+            rel_pos = ca[:, :, None, :] - ca_src
+            # w[b, j, s] = edge[b, src_idx[b,j,s], j] (edge is src-major (i, j))
+            edge_t = jnp.swapaxes(edge, 1, 2)  # (B, j, i, de)
+            edge_w = jnp.take_along_axis(
+                edge_t, src_idx[..., None], axis=2
+            )
+        else:
+            # Static dense kNN mask; dst-major (L, L) layouts (exact parity).
+            cond = knn.knn_adjacency(xyz, aa_idx, self.n_neighbors)  # (B, i, j)
+            mask = knn.incoming_mask(cond)  # (B, j, i)
+            rel_pos = ca[:, :, None, :] - ca[:, None, :, :]  # [b,j,i] = x_j - x_i
+            edge_w = jnp.swapaxes(edge, 1, 2)  # w[b, j, i] = edge[b, i, j]
 
         h0 = node[..., None]  # (B, L, d_node, 1)
         h1 = xyz - ca[:, :, None, :]  # (B, L, 3 atoms, 3)
@@ -180,7 +196,7 @@ class CoordUpdateWithMsaAndPair(nn.Module):
             l1_out_features=3,
             num_edge_features=self.d_edge,
             name="se3",
-        )(h0, h1, edge_w, rel_pos, mask)
+        )(h0, h1, edge_w, rel_pos, mask, src_idx=src_idx)
 
         state = out[0][..., 0]  # (B, L, d_state)
         disp = out[1]  # (B, L, 3, 3)

@@ -58,3 +58,61 @@ def incoming_mask(cond: jnp.ndarray) -> jnp.ndarray:
     in_mask[b, j, i] = cond[b, i, j] (aggregation at dst over incoming edges,
     DGL update_all semantics)."""
     return jnp.swapaxes(cond, 1, 2)
+
+
+def knn_gather_indices(
+    xyz: jnp.ndarray,
+    aa_idx: jnp.ndarray,
+    n_neighbors: int,
+    kmin: int = 9,
+    ca_index: int = 1,
+):
+    """(B, L, S) neighbor indices + validity mask for the gather SE(3) path.
+
+    For each destination j the S = min(K, L) + 2*(kmin-1) slots hold j's K
+    nearest CAs plus the sequence band j-(kmin-1) .. j+(kmin-1). Band slots that
+    fall out of range or duplicate a top-K slot are masked. Self is excluded.
+
+    Exactness note: the dense path (knn_adjacency) aggregates the reference's
+    *reverse*-topk incoming set {i : j in topk(i)}; since CA distances are
+    symmetric this gather form {i in topk(j)} coincides except at top-K boundary
+    asymmetries. With K >= L-1 both reduce to the full graph. The gather path
+    is the long-sequence (O(L*S) memory) implementation; the dense path is the
+    exact-parity implementation (config.se3_impl).
+    """
+    B, L = xyz.shape[:2]
+    ca = xyz[:, :, ca_index]
+    pdist = ca_pairwise_distance(ca)
+    pdist = pdist + jnp.eye(L, dtype=pdist.dtype)[None] * 1e3
+
+    k = min(n_neighbors, L)
+    _, topk_idx = jax.lax.top_k(-pdist, k)  # (B, L, k): k nearest i of each j
+    # NOTE: when k == L the top-k spans every node including self — the dense
+    # path (and the reference, rosettafold_pytorch.py:844-847) has the same
+    # behavior, so the self edge is intentionally kept in that regime.
+    topk_valid = jnp.ones((B, L, k), bool)
+
+    # Sequence band: offsets -(kmin-1)..-1, 1..kmin-1 relative to aa_idx order.
+    # (aa_idx is the residue numbering; band membership is |aa_i - aa_j| < kmin.
+    # For the standard contiguous numbering this is j +- offset.)
+    offsets = jnp.asarray(
+        [o for o in range(-(kmin - 1), kmin) if o != 0], dtype=jnp.int32
+    )
+    pos = jnp.arange(L, dtype=jnp.int32)
+    band_idx = pos[None, :, None] + offsets[None, None, :]  # (1, L, 2*(kmin-1))
+    band_valid = (band_idx >= 0) & (band_idx < L)
+    band_idx = jnp.clip(band_idx, 0, L - 1)
+    band_idx = jnp.broadcast_to(band_idx, (B, L, offsets.shape[0]))
+    band_valid = jnp.broadcast_to(band_valid, band_idx.shape)
+    # Validity also requires the aa_idx separation rule (handles non-contiguous
+    # numbering conservatively).
+    aa_j = aa_idx[:, :, None]
+    aa_band = jax.vmap(lambda a, i: a[i])(aa_idx, band_idx)  # (B, L, 2*(kmin-1))
+    band_valid = band_valid & (jnp.abs(aa_band - aa_j) < kmin)
+    # De-duplicate against the top-k slots.
+    dup = jnp.any(band_idx[..., None] == topk_idx[:, :, None, :], axis=-1)
+    band_valid = band_valid & ~dup
+
+    idx = jnp.concatenate([topk_idx, band_idx], axis=-1)
+    valid = jnp.concatenate([topk_valid, band_valid], axis=-1)
+    return idx.astype(jnp.int32), valid

@@ -173,3 +173,58 @@ def test_coord_update_shapes_and_equivariance():
     np.testing.assert_allclose(
         np.asarray(xyz_r), np.asarray(xyz_new @ R.T), atol=3e-3
     )
+
+
+def test_coord_update_gather_matches_dense_on_full_graph():
+    """With K >= L the forward-topk and reverse-topk neighborhoods both become
+    the full graph, so the gather path must agree with the dense path exactly."""
+    d_msa, d_pair = 24, 16
+    N = 4
+    keys = jax.random.split(jax.random.PRNGKey(11), 4)
+    msa = jax.random.normal(keys[0], (B, N, L, d_msa))
+    pair = jax.random.normal(keys[1], (B, L, L, d_pair))
+    xyz = jax.random.normal(keys[2], (B, L, 3, 3)) * 4.0
+    seq1h = jax.nn.one_hot(jnp.zeros((B, L), jnp.int32), 21)
+    aa_idx = jnp.tile(jnp.arange(L)[None], (B, 1))
+
+    dense = CoordUpdateWithMsaAndPair(
+        d_msa=d_msa, d_pair=d_pair, d_node=D_NODE, d_edge=D_EDGE,
+        d_state=D_STATE, n_neighbors=L, se3_impl="dense",
+    )
+    gather = CoordUpdateWithMsaAndPair(
+        d_msa=d_msa, d_pair=d_pair, d_node=D_NODE, d_edge=D_EDGE,
+        d_state=D_STATE, n_neighbors=L, se3_impl="gather",
+    )
+    params = jinit(dense, jax.random.PRNGKey(0), xyz, msa, pair, aa_idx, seq1h)
+    s_d, x_d = japply(dense, params, xyz, msa, pair, aa_idx, seq1h)
+    s_g, x_g = japply(gather, params, xyz, msa, pair, aa_idx, seq1h)
+    np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_d), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(x_g), np.asarray(x_d), atol=2e-4)
+
+
+def test_coord_update_gather_equivariance():
+    d_msa, d_pair = 24, 16
+    N = 4
+    keys = jax.random.split(jax.random.PRNGKey(13), 4)
+    msa = jax.random.normal(keys[0], (B, N, L, d_msa))
+    pair = jax.random.normal(keys[1], (B, L, L, d_pair))
+    xyz = jax.random.normal(keys[2], (B, L, 3, 3)) * 4.0
+    seq1h = jax.nn.one_hot(jnp.zeros((B, L), jnp.int32), 21)
+    aa_idx = jnp.tile(jnp.arange(L)[None], (B, 1))
+
+    mod = CoordUpdateWithMsaAndPair(
+        d_msa=d_msa, d_pair=d_pair, d_node=D_NODE, d_edge=D_EDGE,
+        d_state=D_STATE, n_neighbors=5, se3_impl="gather",
+    )
+    params = jinit(mod, jax.random.PRNGKey(0), xyz, msa, pair, aa_idx, seq1h)
+    state, xyz_new = japply(mod, params, xyz, msa, pair, aa_idx, seq1h)
+
+    R = so3.rot_np(0.5, 1.2, 2.6)
+    xyz_rot = jnp.asarray(np.asarray(xyz, np.float64) @ R.T, jnp.float32)
+    state_r, xyz_r = japply(mod, params, xyz_rot, msa, pair, aa_idx, seq1h)
+    np.testing.assert_allclose(np.asarray(state_r), np.asarray(state), atol=3e-3)
+    np.testing.assert_allclose(
+        np.asarray(xyz_r, np.float64),
+        np.asarray(xyz_new, np.float64) @ R.T,
+        atol=3e-3,
+    )

@@ -64,6 +64,10 @@ class RoseTTAFoldConfig:
     # Row-chunking for the long-sequence path (bounds the outer-product and
     # FAVOR+ feature intermediates to O(chunk * L)); None = no chunking.
     long_chunk: Optional[int] = None
+    # Trunk compute dtype: "float32" (exact-parity default) or "bfloat16"
+    # (MXU-native; softmax/LayerNorm/InstanceNorm statistics and the entire
+    # SE(3) equivariant stack stay float32).
+    compute_dtype: str = "float32"
 
     def n_neighbors_for_block(self, i: int) -> int:
         return self.n_neighbors[i]

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -16,13 +16,14 @@ class FeedForward(nn.Module):
     d_emb: int
     d_ff: int
     p_dropout: float = 0.1
+    dtype: Any = None  # compute dtype for the matmuls (None = f32)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        x = nn.Dense(self.d_ff, name="fc1")(x)
+        x = nn.Dense(self.d_ff, dtype=self.dtype, name="fc1")(x)
         x = nn.relu(x)
         x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
-        return nn.Dense(self.d_emb, name="fc2")(x)
+        return nn.Dense(self.d_emb, dtype=self.dtype, name="fc2")(x)
 
 
 class PerformerSelfAttention(nn.Module):
@@ -48,6 +49,7 @@ class PerformerSelfAttention(nn.Module):
     # max rows (second-to-last batch axis) per chunk: bounds the FAVOR+ feature
     # tensors (rows, h, L, nb_features) for the long-sequence axial path
     chunk_rows: Optional[int] = None
+    dtype: Any = None  # compute dtype for projections/feature matmuls
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -58,10 +60,10 @@ class PerformerSelfAttention(nn.Module):
             favor.gaussian_orthogonal_matrix(m, self.dim_head, seed=self.feature_seed)
         )
 
-        to_q = nn.Dense(inner, use_bias=False, name="to_q")
-        to_k = nn.Dense(inner, use_bias=False, name="to_k")
-        to_v = nn.Dense(inner, use_bias=False, name="to_v")
-        to_out = nn.Dense(self.dim, name="to_out")
+        to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")
+        to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")
+        to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")
+        to_out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")
 
         def split_heads(t):  # (..., L, h*dh) -> (..., h, L, dh)
             t = t.reshape(*t.shape[:-1], self.heads, self.dim_head)

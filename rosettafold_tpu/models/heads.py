@@ -7,6 +7,8 @@ dist/omega the symmetrized one. Four dilated-conv ResNet towers.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -20,11 +22,12 @@ class PredictionHead(nn.Module):
     in_channels: int
     n_res_blocks: int = 4
     p_dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, pair, *, deterministic: bool = True):
         x = nn.LayerNorm(epsilon=1e-5, name="proj_ln")(pair)
-        x = nn.Dense(self.in_channels, name="proj")(x)
+        x = nn.Dense(self.in_channels, dtype=self.dtype, name="proj")(x)
         x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
 
         def head(n_bins, name):
@@ -34,6 +37,7 @@ class PredictionHead(nn.Module):
                 self.in_channels,
                 n_bins,
                 p_dropout=self.p_dropout,
+                dtype=self.dtype,
                 name=name,
             )
 

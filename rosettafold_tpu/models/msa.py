@@ -9,7 +9,7 @@ selected via attn_impl="pallas".
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -28,6 +28,7 @@ class PositionWiseWeightFactor(nn.Module):
     d_msa: int
     n_heads: int = 12
     p_dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, msa, *, deterministic: bool = True):
@@ -39,15 +40,16 @@ class PositionWiseWeightFactor(nn.Module):
         scale = d_head**-0.5
 
         query = msa[:, 0]  # (B, L, d)
-        q = nn.Dense(self.d_msa, name="to_q")(query)
-        k = nn.Dense(self.d_msa, name="to_k")(msa)
+        q = nn.Dense(self.d_msa, dtype=self.dtype, name="to_q")(query)
+        k = nn.Dense(self.d_msa, dtype=self.dtype, name="to_k")(msa)
 
         B, L = q.shape[0], q.shape[1]
         q = q.reshape(B, L, self.n_heads, d_head) * scale
         k = k.reshape(B, k.shape[1], L, self.n_heads, d_head)
 
-        logits = jnp.einsum("blhd,bnlhd->blhn", q, k)
-        att = nn.softmax(logits, axis=-1)  # over N
+        logits = jnp.einsum("blhd,bnlhd->blhn", q, k,
+                            preferred_element_type=jnp.float32)
+        att = nn.softmax(logits, axis=-1).astype(q.dtype)  # over N
         att = jnp.transpose(att, (0, 3, 2, 1))[..., None]  # (B, N, h, L, 1)
         return nn.Dropout(self.p_dropout)(att, deterministic=deterministic)
 
@@ -65,6 +67,7 @@ class SoftTiedAttentionOverResidues(nn.Module):
     p_dropout: float = 0.1
     return_att: bool = False
     attn_impl: str = "xla"  # "xla" | "pallas" (fused flash kernel; no att map)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -73,12 +76,12 @@ class SoftTiedAttentionOverResidues(nn.Module):
         scale = d_head**-0.5
         B, N, L, _ = x.shape
 
-        q = nn.Dense(self.d_msa, name="to_q")(x).reshape(B, N, L, h, d_head)
-        k = nn.Dense(self.d_msa, name="to_k")(x).reshape(B, N, L, h, d_head)
-        v = nn.Dense(self.d_msa, name="to_v")(x).reshape(B, N, L, h, d_head)
+        q = nn.Dense(self.d_msa, dtype=self.dtype, name="to_q")(x).reshape(B, N, L, h, d_head)
+        k = nn.Dense(self.d_msa, dtype=self.dtype, name="to_k")(x).reshape(B, N, L, h, d_head)
+        v = nn.Dense(self.d_msa, dtype=self.dtype, name="to_v")(x).reshape(B, N, L, h, d_head)
 
         w = PositionWiseWeightFactor(
-            self.d_msa, h, self.p_dropout, name="poswise_weight"
+            self.d_msa, h, self.p_dropout, dtype=self.dtype, name="poswise_weight"
         )(x, deterministic=deterministic)  # (B, N, h, L, 1)
         q = q * jnp.transpose(w, (0, 1, 3, 2, 4)) * scale  # (B, N, L, h, d)
 
@@ -96,11 +99,15 @@ class SoftTiedAttentionOverResidues(nn.Module):
             out = out.reshape(B, h, L, N, d_head)
             out = jnp.transpose(out, (0, 3, 2, 1, 4)).reshape(B, N, L, self.d_msa)
         else:
-            logits = jnp.einsum("bnihd,bnjhd->bhij", q, k)
+            logits = jnp.einsum("bnihd,bnjhd->bhij", q, k,
+                                preferred_element_type=jnp.float32)
             att = nn.softmax(logits, axis=-1)
-            out = jnp.einsum("bhij,bnjhd->bnihd", att, v).reshape(B, N, L, self.d_msa)
+            out = jnp.einsum(
+                "bhij,bnjhd->bnihd", att.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(v.dtype).reshape(B, N, L, self.d_msa)
 
-        out = nn.Dense(self.d_msa, name="to_out")(out)
+        out = nn.Dense(self.d_msa, dtype=self.dtype, name="to_out")(out)
         out = nn.Dropout(self.p_dropout)(out, deterministic=deterministic)
 
         if self.return_att:
@@ -123,6 +130,7 @@ class EncoderLayer(nn.Module):
     feature_seed: int = 42
     performer_dim_head: int = 64
     attn_impl: str = "xla"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -133,6 +141,7 @@ class EncoderLayer(nn.Module):
                 self.p_dropout,
                 return_att=self.return_att,
                 attn_impl=self.attn_impl,
+                dtype=self.dtype,
                 name="attn",
             )
         elif self.performer:
@@ -147,6 +156,7 @@ class EncoderLayer(nn.Module):
                 p_dropout=self.p_dropout,
                 generalized_attention=self.generalized_attention,
                 feature_seed=self.feature_seed,
+                dtype=self.dtype,
                 name="attn",
             )
         else:
@@ -162,9 +172,8 @@ class EncoderLayer(nn.Module):
 
         # FF residual: LN -> FF -> Dropout, added to x (reference :326-332).
         y = nn.LayerNorm(epsilon=1e-5, name="ff_ln")(x)
-        y = FeedForward(self.d_msa, self.d_ff, self.p_dropout, name="ff")(
-            y, deterministic=deterministic
-        )
+        y = FeedForward(self.d_msa, self.d_ff, self.p_dropout, dtype=self.dtype,
+                        name="ff")(y, deterministic=deterministic)
         y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
         x = x + y
 
@@ -188,6 +197,7 @@ class MsaUpdateUsingSelfAttention(nn.Module):
     feature_seed: int = 42
     performer_dim_head: int = 64
     attn_impl: str = "xla"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -204,6 +214,7 @@ class MsaUpdateUsingSelfAttention(nn.Module):
                 tied=True,
                 return_att=need_att,
                 attn_impl=self.attn_impl,
+                dtype=self.dtype,
                 name=f"residue_wise_{i}",
             )
             if need_att:
@@ -224,6 +235,7 @@ class MsaUpdateUsingSelfAttention(nn.Module):
                 performer=True,
                 feature_seed=self.feature_seed + i,
                 performer_dim_head=self.performer_dim_head,
+                dtype=self.dtype,
                 name=f"sequence_wise_{i}",
             )(x, deterministic=deterministic)
         x = jnp.swapaxes(x, 1, 2)
@@ -241,6 +253,7 @@ class MsaUpdateWithPairLayer(nn.Module):
     d_pair: int
     n_heads: int = 4
     p_dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, msa, pair, *, deterministic: bool = True):
@@ -257,17 +270,21 @@ class MsaUpdateWithPairLayer(nn.Module):
 
         # msa2value: LN -> Linear -> heads.
         v = nn.LayerNorm(epsilon=1e-5, name="msa_ln")(msa)
-        v = nn.Dense(self.d_msa, name="msa2value")(v).reshape(B, N, L, h, d_head)
+        v = nn.Dense(self.d_msa, dtype=self.dtype, name="msa2value")(v).reshape(
+            B, N, L, h, d_head
+        )
 
-        upd = jnp.einsum("bhij,bnjhd->bnihd", att, v).reshape(B, N, L, self.d_msa)
+        upd = jnp.einsum(
+            "bhij,bnjhd->bnihd", att.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(v.dtype).reshape(B, N, L, self.d_msa)
         upd = nn.Dropout(self.p_dropout)(upd, deterministic=deterministic)
 
         x = msa + upd
         # ff: Residual(LN -> FF(d_msa, d_msa)) with dropout on the branch (:578-584).
         y = nn.LayerNorm(epsilon=1e-5, name="ff_ln")(x)
-        y = FeedForward(self.d_msa, self.d_msa, self.p_dropout, name="ff")(
-            y, deterministic=deterministic
-        )
+        y = FeedForward(self.d_msa, self.d_msa, self.p_dropout, dtype=self.dtype,
+                        name="ff")(y, deterministic=deterministic)
         y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
         return x + y
 
@@ -284,12 +301,14 @@ class MsaUpdateWithPair(nn.Module):
     n_heads: int = 4
     n_encoder_layers: int = 4
     p_dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, msa, pair, *, deterministic: bool = True):
         for i in range(self.n_encoder_layers):
             msa = MsaUpdateWithPairLayer(
-                self.d_msa, self.d_pair, self.n_heads, self.p_dropout, name=f"layer_{i}"
+                self.d_msa, self.d_pair, self.n_heads, self.p_dropout,
+                dtype=self.dtype, name=f"layer_{i}"
             )(msa, pair, deterministic=deterministic)
         return msa
 
@@ -310,6 +329,7 @@ class MsaUpdateWithPairAndCoord(nn.Module):
     d_ff: int = 384 * 4
     distance_bins: Tuple[int, ...] = (8, 12, 16, 20)
     p_dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz, state, msa, *, deterministic: bool = True):
@@ -322,7 +342,7 @@ class MsaUpdateWithPairAndCoord(nn.Module):
 
         q = nn.Dense(self.d_trfm_inner * h, name="to_q")(state)
         k = nn.Dense(self.d_trfm_inner * h, name="to_k")(state)
-        v = nn.Dense(self.d_msa, name="to_v")(msa)
+        v = nn.Dense(self.d_msa, dtype=self.dtype, name="to_v")(msa)
 
         q = q.reshape(B, L, h, self.d_trfm_inner).transpose(0, 2, 1, 3) * scale
         k = k.reshape(B, L, h, self.d_trfm_inner).transpose(0, 2, 1, 3)
@@ -338,12 +358,12 @@ class MsaUpdateWithPairAndCoord(nn.Module):
         logits = jnp.einsum("bhid,bhjd->bhij", q, k) + (1.0 - mask) * -1e9
         att = nn.softmax(logits, axis=-1)
 
-        out = jnp.einsum("bhij,bhnjd->bhnid", att, v)
+        out = jnp.einsum("bhij,bhnjd->bhnid", att.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
         out = out.transpose(0, 2, 3, 1, 4).reshape(B, N, L, self.d_msa)
         msa = msa + nn.LayerNorm(epsilon=1e-5, name="ln_out")(out)
 
         y = nn.LayerNorm(epsilon=1e-5, name="ff_ln")(msa)
-        y = FeedForward(self.d_msa, self.d_ff, self.p_dropout, name="ff")(
-            y, deterministic=deterministic
-        )
+        y = FeedForward(self.d_msa, self.d_ff, self.p_dropout, dtype=self.dtype,
+                        name="ff")(y, deterministic=deterministic)
         return msa + y

@@ -9,6 +9,8 @@ row / column axes of the L x L pair map.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -34,13 +36,16 @@ class OuterProductMean(nn.Module):
     # rows of i per chunk; bounds the (B, chunk, L, u*v) intermediate so the
     # full (B, L, L, u*v) outer product never materializes (long-sequence path)
     chunk_size: int = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, y=None):
         y = x if y is None else y
+        if self.dtype is not None:
+            x, y = x.astype(self.dtype), y.astype(self.dtype)
         L = x.shape[2]
         ln = nn.LayerNorm(epsilon=1e-5, name="ln")
-        dense = nn.Dense(self.out_features, name="to_out")
+        dense = nn.Dense(self.out_features, dtype=self.dtype, name="to_out")
 
         def block(x_rows):
             op = jnp.einsum("bniu,bnjv->bijuv", x_rows, y)
@@ -69,6 +74,7 @@ class PairUpdateWithMsa(nn.Module):
     n_heads: int = 12
     p_dropout: float = 0.1
     long_chunk: int = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, msa, pair, att, *, deterministic: bool = True):
@@ -85,7 +91,7 @@ class PairUpdateWithMsa(nn.Module):
         w = w[:, :, 0]  # (B, N, L, 1)
 
         coevol = OuterProductMean(
-            self.d_proj, self.d_pair, chunk_size=self.long_chunk,
+            self.d_proj, self.d_pair, chunk_size=self.long_chunk, dtype=self.dtype,
             name="outer_product_mean",
         )(m, m * w)
         coevol = nn.LayerNorm(epsilon=1e-5, name="ln_coevol_feat")(coevol)
@@ -108,14 +114,16 @@ class PairUpdateWithMsa(nn.Module):
         )
 
         # Linear -> Residual(conv3x3 -> IN -> ELU -> Dropout -> conv3x3 -> IN) -> ELU
-        x = nn.Dense(self.d_pair, name="resnet_in")(feat)
-        y = nn.Conv(self.d_pair, (3, 3), padding="SAME", use_bias=False, name="conv1")(x)
+        x = nn.Dense(self.d_pair, dtype=self.dtype, name="resnet_in")(feat)
+        y = nn.Conv(self.d_pair, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         y = InstanceNorm2d(self.d_pair, name="in1")(y)
         y = nn.elu(y)
         y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
-        y = nn.Conv(self.d_pair, (3, 3), padding="SAME", use_bias=False, name="conv2")(y)
+        y = nn.Conv(self.d_pair, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
         y = InstanceNorm2d(self.d_pair, name="in2")(y)
-        return nn.elu(x + y)
+        return nn.elu(x.astype(jnp.float32) + y)
 
 
 class PairUpdateWithAxialAttentionLayer(nn.Module):
@@ -133,6 +141,7 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
     feature_seed: int = 42
     performer_dim_head: int = 64
     long_chunk: int = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -144,6 +153,7 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
             generalized_attention=True,
             feature_seed=self.feature_seed,
             chunk_rows=self.long_chunk,
+            dtype=self.dtype,
             name="row_attn",
         )
         col_attn = PerformerSelfAttention(
@@ -154,6 +164,7 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
             generalized_attention=True,
             feature_seed=self.feature_seed + 1,
             chunk_rows=self.long_chunk,
+            dtype=self.dtype,
             name="col_attn",
         )
 
@@ -168,9 +179,8 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
         x = x + col_attn(y, deterministic=deterministic)
 
         y = nn.LayerNorm(epsilon=1e-5, name="ln_ff")(x)
-        y = FeedForward(self.d_pair, self.d_ff, self.p_dropout, name="ff")(
-            y, deterministic=deterministic
-        )
+        y = FeedForward(self.d_pair, self.d_ff, self.p_dropout, dtype=self.dtype,
+                        name="ff")(y, deterministic=deterministic)
         return x + y
 
 
@@ -185,6 +195,7 @@ class PairUpdateWithAxialAttention(nn.Module):
     feature_seed: int = 42
     performer_dim_head: int = 64
     long_chunk: int = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -197,6 +208,7 @@ class PairUpdateWithAxialAttention(nn.Module):
                 feature_seed=self.feature_seed + 2 * i,
                 performer_dim_head=self.performer_dim_head,
                 long_chunk=self.long_chunk,
+                dtype=self.dtype,
                 name=f"layer_{i}",
             )(x, deterministic=deterministic)
         return x

@@ -7,7 +7,7 @@ The reference runs NCHW Conv2d + InstanceNorm2d; here everything is NHWC
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -25,6 +25,7 @@ class InstanceNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(jnp.float32)  # normalization statistics always in f32
         mean = jnp.mean(x, axis=(1, 2), keepdims=True)
         var = jnp.var(x, axis=(1, 2), keepdims=True)
         y = (x - mean) / jnp.sqrt(var + self.eps)
@@ -41,6 +42,7 @@ class ResBlock2D(nn.Module):
     kernel_size: int = 3
     dilation: int = 1
     p_dropout: float = 0.15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -48,17 +50,17 @@ class ResBlock2D(nn.Module):
         d = (self.dilation, self.dilation)
         y = nn.Conv(
             self.channels, k, kernel_dilation=d, padding="SAME", use_bias=False,
-            name="conv1",
+            dtype=self.dtype, name="conv1",
         )(x)
         y = InstanceNorm2d(self.channels, name="in1")(y)
         y = nn.elu(y)
         y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
         y = nn.Conv(
             self.channels, k, kernel_dilation=d, padding="SAME", use_bias=False,
-            name="conv2",
+            dtype=self.dtype, name="conv2",
         )(y)
         y = InstanceNorm2d(self.channels, name="in2")(y)
-        return nn.elu(x + y)
+        return nn.elu(x.astype(jnp.float32) + y)
 
 
 class ResNet(nn.Module):
@@ -71,11 +73,13 @@ class ResNet(nn.Module):
     out_channels: int
     dilations: Tuple[int, ...] = (1, 2, 4, 8)
     p_dropout: float = 0.15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = nn.Conv(
-            self.intermediate_channels, (1, 1), use_bias=False, name="proj_in"
+            self.intermediate_channels, (1, 1), use_bias=False, dtype=self.dtype,
+            name="proj_in",
         )(x)
         x = InstanceNorm2d(self.intermediate_channels, name="in_in")(x)
         x = nn.elu(x)
@@ -85,6 +89,7 @@ class ResNet(nn.Module):
                 kernel_size=3,
                 dilation=self.dilations[i % len(self.dilations)],
                 p_dropout=self.p_dropout,
+                dtype=self.dtype,
                 name=f"block_{i}",
             )(x, deterministic=deterministic)
         return nn.Conv(self.out_channels, (1, 1), name="proj_out")(x)

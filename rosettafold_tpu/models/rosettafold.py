@@ -13,7 +13,7 @@ per-block n_neighbors with the final block fixed at 32.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -43,6 +43,7 @@ class TwoTrackBlock(nn.Module):
     performer_dim_head: int = 64
     attn_impl: str = "xla"
     long_chunk: int = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, msa, pair, *, deterministic: bool = True):
@@ -55,6 +56,7 @@ class TwoTrackBlock(nn.Module):
             feature_seed=self.feature_seed,
             performer_dim_head=self.performer_dim_head,
             attn_impl=self.attn_impl,
+            dtype=self.dtype,
             name="msa_update_using_self_att",
         )(msa, deterministic=deterministic)
         pair = PairUpdateWithMsa(
@@ -63,6 +65,7 @@ class TwoTrackBlock(nn.Module):
             d_pair=self.d_pair,
             n_heads=12,
             long_chunk=self.long_chunk,
+            dtype=self.dtype,
             name="pair_update_with_msa",
         )(msa, pair, att, deterministic=deterministic)
         pair = PairUpdateWithAxialAttention(
@@ -74,6 +77,7 @@ class TwoTrackBlock(nn.Module):
             feature_seed=self.feature_seed + 100,
             performer_dim_head=self.performer_dim_head,
             long_chunk=self.long_chunk,
+            dtype=self.dtype,
             name="pair_update_with_axial_attention",
         )(pair, deterministic=deterministic)
         msa = MsaUpdateWithPair(
@@ -82,6 +86,7 @@ class TwoTrackBlock(nn.Module):
             n_heads=4,
             n_encoder_layers=self.n_encoder_layers,
             p_dropout=self.p_dropout,
+            dtype=self.dtype,
             name="msa_update_with_pair",
         )(msa, pair, deterministic=deterministic)
         return msa, pair
@@ -104,6 +109,7 @@ class ThreeTrackBlock(nn.Module):
     attn_impl: str = "xla"
     se3_impl: str = "dense"
     long_chunk: int = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, msa, pair, xyz, seq_onehot, aa_idx, *, deterministic: bool = True):
@@ -116,6 +122,7 @@ class ThreeTrackBlock(nn.Module):
             performer_dim_head=self.performer_dim_head,
             attn_impl=self.attn_impl,
             long_chunk=self.long_chunk,
+            dtype=self.dtype,
             name="two_track",
         )(msa, pair, deterministic=deterministic)
 
@@ -138,6 +145,7 @@ class ThreeTrackBlock(nn.Module):
             d_ff=self.d_msa * 4,
             distance_bins=(8, 12, 16, 20),
             p_dropout=self.p_dropout,
+            dtype=self.dtype,
             name="msa_update_with_pair_and_coord",
         )(xyz, state, msa, deterministic=deterministic)
 
@@ -161,6 +169,7 @@ class FinalBlock(nn.Module):
     attn_impl: str = "xla"
     se3_impl: str = "dense"
     long_chunk: int = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, msa, pair, xyz, seq_onehot, aa_idx, *, deterministic: bool = True):
@@ -173,6 +182,7 @@ class FinalBlock(nn.Module):
             performer_dim_head=self.performer_dim_head,
             attn_impl=self.attn_impl,
             long_chunk=self.long_chunk,
+            dtype=self.dtype,
             name="two_track",
         )(msa, pair, deterministic=deterministic)
 
@@ -214,6 +224,7 @@ class RoseTTAFold(nn.Module):
         deterministic: bool = True,
     ) -> Tuple[dict, jnp.ndarray, jnp.ndarray]:
         cfg = self.config
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
         msa_emb = MsaEmbedding(
             d_input=cfg.d_input,
@@ -246,6 +257,7 @@ class RoseTTAFold(nn.Module):
                 performer_dim_head=cfg.performer.dim_head,
                 attn_impl=cfg.attn_impl,
                 long_chunk=cfg.long_chunk,
+                dtype=dtype,
                 name=f"two_track_{i}",
             )(x, pair, deterministic=deterministic)
 
@@ -257,6 +269,7 @@ class RoseTTAFold(nn.Module):
             n_heads=4,
             n_layers=4,
             p_dropout=cfg.p_dropout,
+            dtype=dtype,
             name="initial_coords",
         )(x, pair, seq_onehot, aa_idx, deterministic=deterministic)
 
@@ -275,6 +288,7 @@ class RoseTTAFold(nn.Module):
                 attn_impl=cfg.attn_impl,
                 se3_impl=cfg.se3_impl,
                 long_chunk=cfg.long_chunk,
+                dtype=dtype,
                 name=f"three_track_{i}",
             )(x, pair, xyz, seq_onehot, aa_idx, deterministic=deterministic)
 
@@ -292,6 +306,7 @@ class RoseTTAFold(nn.Module):
             attn_impl=cfg.attn_impl,
             se3_impl=cfg.se3_impl,
             long_chunk=cfg.long_chunk,
+            dtype=dtype,
             name="final_block",
         )(x, pair, xyz, seq_onehot, aa_idx, deterministic=deterministic)
 
@@ -299,7 +314,10 @@ class RoseTTAFold(nn.Module):
             in_channels=cfg.d_pair,
             n_res_blocks=4,
             p_dropout=cfg.p_dropout,
+            dtype=dtype,
             name="prediction_head",
         )(pair, deterministic=deterministic)
 
-        return logits, xyz, plddt
+        # Public contract: float32 outputs regardless of the compute dtype.
+        logits = {k: v.astype(jnp.float32) for k, v in logits.items()}
+        return logits, xyz.astype(jnp.float32), plddt.astype(jnp.float32)

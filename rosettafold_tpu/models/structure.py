@@ -8,6 +8,8 @@ runs on dense masked neighborhoods (models/se3.py).
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -28,6 +30,7 @@ class GraphTransformer(nn.Module):
     d_edge: int
     n_heads: int
     p_dropout: float = 0.15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, node, edge, edge_mask=None, *, deterministic: bool = True):
@@ -35,27 +38,32 @@ class GraphTransformer(nn.Module):
         scale = dh**-0.5
         B, L, _ = node.shape
 
-        q = nn.Dense(dh * h, name="node_to_q")(node).reshape(B, L, h, dh)
-        k = nn.Dense(dh * h, name="node_to_k")(node).reshape(B, L, h, dh)
-        v = nn.Dense(dh * h, name="node_to_v")(node).reshape(B, L, h, dh)
+        q = nn.Dense(dh * h, dtype=self.dtype, name="node_to_q")(node).reshape(B, L, h, dh)
+        k = nn.Dense(dh * h, dtype=self.dtype, name="node_to_k")(node).reshape(B, L, h, dh)
+        v = nn.Dense(dh * h, dtype=self.dtype, name="node_to_v")(node).reshape(B, L, h, dh)
         q, k, v = (jnp.transpose(t, (0, 2, 1, 3)) for t in (q, k, v))
 
-        e = nn.Dense(dh * h, use_bias=False, name="edge_emb")(edge)
+        e = nn.Dense(dh * h, use_bias=False, dtype=self.dtype, name="edge_emb")(edge)
         e = jnp.transpose(e.reshape(B, L, L, h, dh), (0, 3, 1, 2, 4))  # b h i j d
 
-        logit = jnp.einsum("bhid,bhjd->bhij", q, k)
-        logit = logit + jnp.einsum("bhid,bhijd->bhij", q, e)
+        logit = jnp.einsum("bhid,bhjd->bhij", q, k,
+                           preferred_element_type=jnp.float32)
+        logit = logit + jnp.einsum("bhid,bhijd->bhij", q, e,
+                                   preferred_element_type=jnp.float32)
         att = logit * scale
         if edge_mask is not None:
             att = att + (1.0 - edge_mask[:, None].astype(att.dtype)) * -1e9
-        att = nn.softmax(att, axis=-1)
+        att = nn.softmax(att, axis=-1).astype(v.dtype)
         att = nn.Dropout(self.p_dropout)(att, deterministic=deterministic)
 
-        upd = jnp.einsum("bhij,bhjd->bhid", att, v)
-        upd = upd + jnp.einsum("bhij,bhijd->bhid", att, e)
+        upd = jnp.einsum("bhij,bhjd->bhid", att, v,
+                         preferred_element_type=jnp.float32)
+        upd = upd + jnp.einsum("bhij,bhijd->bhid", att, e,
+                               preferred_element_type=jnp.float32)
         upd = jnp.transpose(upd, (0, 2, 1, 3)).reshape(B, L, h * dh)
 
-        return nn.Dense(dh * h, name="node_update")(node) + upd
+        node_upd = nn.Dense(dh * h, dtype=self.dtype, name="node_update")(node)
+        return node_upd.astype(jnp.float32) + upd
 
 
 class GraphTransformerBlock(nn.Module):
@@ -66,12 +74,13 @@ class GraphTransformerBlock(nn.Module):
     d_edge: int
     n_heads: int
     p_dropout: float = 0.15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, node, edge, edge_mask=None, *, deterministic: bool = True):
         x = GraphTransformer(
             self.d_node_in, self.d_node_out, self.d_edge, self.n_heads,
-            self.p_dropout, name="attn",
+            self.p_dropout, dtype=self.dtype, name="attn",
         )(node, edge, edge_mask, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="ln")(x)
         x = nn.elu(nn.Dense(self.d_node_in, name="to_out")(x))
@@ -101,6 +110,7 @@ class InitialCoordGenerationWithMsaAndPair(nn.Module):
     n_heads: int = 4
     n_layers: int = 4
     p_dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, msa, pair, seq_onehot, aa_idx, *, deterministic: bool = True):
@@ -120,7 +130,7 @@ class InitialCoordGenerationWithMsaAndPair(nn.Module):
         for i in range(self.n_layers):
             node = GraphTransformerBlock(
                 self.d_node, self.d_node, self.d_edge, self.n_heads,
-                self.p_dropout, name=f"block_{i}",
+                self.p_dropout, dtype=self.dtype, name=f"block_{i}",
             )(node, edge, None, deterministic=deterministic)
 
         xyz = nn.Dense(9, name="to_out")(node)

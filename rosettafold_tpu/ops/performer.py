@@ -79,14 +79,25 @@ def softmax_kernel_features(
     data_normalizer = d ** -0.25
     ratio = m ** -0.5
 
-    proj = jnp.einsum("...ld,md->...lm", data_normalizer * data, projection)
-    diag = jnp.sum(data**2, axis=-1, keepdims=True) * (data_normalizer**2) / 2.0
+    proj = jnp.einsum(
+        "...ld,md->...lm",
+        data_normalizer * data,
+        projection.astype(data.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    diag = (
+        jnp.sum(data.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        * (data_normalizer**2)
+        / 2.0
+    )
 
     if is_query:
         stab = jnp.max(proj, axis=-1, keepdims=True)
     else:
         stab = jnp.max(proj, axis=(-1, -2), keepdims=True)
-    return ratio * (jnp.exp(proj - diag - jax.lax.stop_gradient(stab)) + eps)
+    # exp in float32 for stability; features downcast to the compute dtype
+    feats = ratio * (jnp.exp(proj - diag - jax.lax.stop_gradient(stab)) + eps)
+    return feats.astype(data.dtype)
 
 
 def generalized_kernel_features(
@@ -105,16 +116,26 @@ def generalized_kernel_features(
     data_normalizer = d ** -0.25
     if projection is None:
         return kernel_fn(data_normalizer * data) + kernel_eps
-    proj = jnp.einsum("...ld,md->...lm", data_normalizer * data, projection)
-    return kernel_fn(proj) + kernel_eps
+    proj = jnp.einsum(
+        "...ld,md->...lm", data_normalizer * data, projection.astype(data.dtype)
+    )
+    return kernel_fn(proj) + jnp.asarray(kernel_eps, proj.dtype)
 
 
 def linear_attention(q_feat: jnp.ndarray, k_feat: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Non-causal linear attention. q_feat/k_feat (..., L, m), v (..., L, e)."""
-    k_sum = jnp.sum(k_feat, axis=-2)  # (..., m)
-    d_inv = 1.0 / (jnp.einsum("...lm,...m->...l", q_feat, k_sum) + 1e-12)
+    k_sum = jnp.sum(k_feat.astype(jnp.float32), axis=-2)  # (..., m)
+    d_inv = 1.0 / (
+        jnp.einsum(
+            "...lm,...m->...l", q_feat, k_sum.astype(q_feat.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + 1e-12
+    )
     context = jnp.einsum("...lm,...le->...me", k_feat, v)
-    return jnp.einsum("...me,...lm,...l->...le", context, q_feat, d_inv)
+    out = jnp.einsum("...me,...lm->...le", context, q_feat,
+                     preferred_element_type=jnp.float32)
+    return (out * d_inv[..., None]).astype(v.dtype)
 
 
 def favor_attention(

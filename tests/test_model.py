@@ -114,3 +114,19 @@ def test_rosettafold_train_mode_runs():
         rngs={"dropout": jax.random.PRNGKey(1)},
     )
     assert bool(jnp.isfinite(out[1]).all())
+
+
+def test_rosettafold_bfloat16_close_to_float32():
+    """bfloat16 trunk must run and agree with the f32 path to bf16 tolerance."""
+    cfg32 = tiny_config()
+    cfg16 = tiny_config(compute_dtype="bfloat16")
+    m32, m16 = RoseTTAFold(config=cfg32), RoseTTAFold(config=cfg16)
+    msa, seq, aa_idx = _inputs()
+    params = jinit(m32, jax.random.PRNGKey(0), msa, seq, aa_idx)
+    l32, x32, p32 = japply(m32, params, msa, seq, aa_idx)
+    l16, x16, p16 = japply(m16, params, msa, seq, aa_idx)
+    assert l16["dist"].dtype == jnp.float32  # public contract: f32 outputs
+    assert bool(jnp.isfinite(x16).all())
+    # loose agreement: bf16 rounding compounds over ~30 layers
+    corr = jnp.corrcoef(x32.ravel(), x16.ravel())[0, 1]
+    assert corr > 0.98, float(corr)

@@ -531,3 +531,49 @@ class TFN(nn.Module):
             edge_dim=self.num_edge_features, name="conv_out",
         )(h, feat, basis, mask, h_src=gather_src(h))
         return h
+
+
+def fiber2tensor(feats: Features, fiber: Fiber) -> jnp.ndarray:
+    """Concatenate per-degree features into a flat (..., n_features) tensor
+    (reference fibers.py:153-160)."""
+    parts = [
+        feats[d].reshape(*feats[d].shape[:-2], fiber.dict[d] * (2 * d + 1))
+        for d in fiber.degrees
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def tensor2fiber(x: jnp.ndarray, fiber: Fiber) -> Features:
+    """Inverse of fiber2tensor (reference get_fiber_dict, fibers.py:119-137)."""
+    out, idx = {}, 0
+    for d in fiber.degrees:
+        m = fiber.dict[d]
+        length = m * (2 * d + 1)
+        out[d] = x[..., idx : idx + length].reshape(*x.shape[:-1], m, 2 * d + 1)
+        idx += length
+    return out
+
+
+def g_avg_pooling(feats: Features, node_mask=None, degree: int = 0) -> jnp.ndarray:
+    """Masked mean over nodes (reference GAvgPooling, modules.py:931-954).
+
+    feats[degree]: (B, L, m, 2d+1); node_mask (B, L) optional. Degree 0 returns
+    (B, m); degree 1 returns (B, m, 3)."""
+    v = feats[degree]
+    if degree == 0:
+        v = v[..., 0]
+    if node_mask is None:
+        return jnp.mean(v, axis=1)
+    w = node_mask[:, :, None] if degree == 0 else node_mask[:, :, None, None]
+    denom = jnp.maximum(jnp.sum(node_mask, axis=1), 1)
+    denom = denom[:, None] if degree == 0 else denom[:, None, None]
+    return jnp.sum(v * w, axis=1) / denom
+
+
+def g_max_pooling(feats: Features, node_mask=None) -> jnp.ndarray:
+    """Masked max over nodes of the degree-0 channel (reference GMaxPooling,
+    modules.py:957-967). (B, L, m, 1) -> (B, m)."""
+    v = feats[0][..., 0]
+    if node_mask is not None:
+        v = jnp.where(node_mask[:, :, None], v, -jnp.inf)
+    return jnp.max(v, axis=1)

@@ -116,3 +116,17 @@ def knn_gather_indices(
     idx = jnp.concatenate([topk_idx, band_idx], axis=-1)
     valid = jnp.concatenate([topk_valid, band_valid], axis=-1)
     return idx.astype(jnp.int32), valid
+
+
+def update_relative_positions(rel_layout, xyz, ca_index: int = 1):
+    """Recompute rel_pos for a neighborhood layout from new coordinates
+    (functional analog of the reference's update_relative_positions,
+    equivariant_attention/utils/utils_data.py:46-65).
+
+    rel_layout: either a (B, L, S) src-index array (gather layout) or None
+    (dense layout). Returns the new rel_pos tensor (dst - src)."""
+    ca = xyz[:, :, ca_index]
+    if rel_layout is None:
+        return ca[:, :, None, :] - ca[:, None, :, :]
+    ca_src = jax.vmap(lambda c, i: c[i])(ca, rel_layout)
+    return ca[:, :, None, :] - ca_src

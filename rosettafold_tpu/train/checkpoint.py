@@ -48,7 +48,10 @@ def restore(path: str, target: Optional[Any] = None) -> Any:
     ckptr = ocp.StandardCheckpointer()
     if target is not None:
         shapes = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), target
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape")
+            else x,
+            target,
         )
         return ckptr.restore(path, shapes)
     return ckptr.restore(path)

@@ -2,14 +2,19 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Config: BASELINE.json config 1 shapes (bsz=1, n_seq=8, L=128, d_msa=384,
-d_pair=288, templates off) on whatever accelerator is available (the real TPU
-chip under the driver). Metric: residue-pairs per second per chip
-(L^2 * batch / latency). The upstream reference publishes no numbers and its
-dependencies (dgl, performer-pytorch, lightning, lie_learn) are absent from this
-image, so it cannot be measured here (BASELINE.md); vs_baseline is computed
-against our own first recorded measurement (BASELINE_MEASURED.json) so
-round-over-round improvement is visible. On the first ever run it is 1.0.
+Config: BASELINE.json config 1 shapes (bsz=4, n_seq=8, L=128, d_msa=384,
+d_pair=288, templates off) on the available accelerator, fastest settings
+(bfloat16 trunk, fused Pallas tied attention). Metric: residue-pairs/sec
+(L^2 * batch / latency).
+
+Timing note: on this runtime block_until_ready does not actually synchronize
+(remote-tunnel semantics), so every iteration fetches a scalar checksum — each
+timed step is a full device round trip.
+
+The upstream reference publishes no numbers and its dependency stack (dgl,
+performer-pytorch, lightning, lie_learn) is absent from this image, so it
+cannot be measured here (BASELINE.md); vs_baseline compares against this
+framework's first honestly-measured value (BASELINE_MEASURED.json).
 """
 
 import json
@@ -21,17 +26,27 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/rftpu_jax_cache")
 
-BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+BASELINE_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
+)
 
-B, N, L = 1, 8, 128
-WARMUP, ITERS = 2, 10
+B = int(os.environ.get("BENCH_B", 4))
+N = int(os.environ.get("BENCH_N", 8))
+L = int(os.environ.get("BENCH_L", 128))
+WARMUP, ITERS = 2, int(os.environ.get("BENCH_ITERS", 10))
 
 
 def main():
     from rosettafold_tpu import RoseTTAFoldConfig
     from rosettafold_tpu.models.rosettafold import RoseTTAFold
 
-    cfg = RoseTTAFoldConfig(max_len=260)
+    cfg = RoseTTAFoldConfig(
+        max_len=max(260, L + 10),
+        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+        attn_impl=os.environ.get("BENCH_ATTN", "pallas"),
+        se3_impl=os.environ.get("BENCH_SE3", "gather"),
+        long_chunk=None if L <= 384 else 128,
+    )
     model = RoseTTAFold(config=cfg)
 
     rng = jax.random.PRNGKey(0)
@@ -40,13 +55,18 @@ def main():
     aa_idx = jnp.tile(jnp.arange(L)[None], (B, 1))
 
     params = jax.jit(model.init)(rng, msa, seq, aa_idx)
-    fwd = jax.jit(model.apply)
+
+    @jax.jit
+    def fwd(params, msa, seq, aa_idx):
+        logits, xyz, plddt = model.apply(params, msa, seq, aa_idx)
+        # scalar checksum forces full materialization when fetched to host
+        return plddt.sum() + xyz.sum() + logits["dist"].sum()
 
     for _ in range(WARMUP):
-        jax.block_until_ready(fwd(params, msa, seq, aa_idx))
+        float(fwd(params, msa, seq, aa_idx))
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        jax.block_until_ready(fwd(params, msa, seq, aa_idx))
+        float(fwd(params, msa, seq, aa_idx))
     latency = (time.perf_counter() - t0) / ITERS
 
     pairs_per_sec = B * L * L / latency
@@ -62,9 +82,9 @@ def main():
                 {
                     "pairs_per_sec": pairs_per_sec,
                     "latency_s": latency,
-                    "config": {"B": B, "N": N, "L": L},
-                    "note": "first measured value of this framework (reference "
-                    "publishes no numbers and cannot run in this image)",
+                    "config": {"B": B, "N": N, "L": L, "dtype": cfg.compute_dtype},
+                    "note": "first honestly-synced measurement of this framework "
+                    "(the reference publishes no numbers and cannot run here)",
                 },
                 f,
                 indent=2,
@@ -73,7 +93,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"inference residue-pairs/sec/chip (B={B},N={N},L={L}, fp32)",
+                "metric": f"inference residue-pairs/sec/chip (B={B},N={N},L={L}, "
+                f"{cfg.compute_dtype}+{cfg.attn_impl})",
                 "value": round(pairs_per_sec, 2),
                 "unit": "pairs/s",
                 "vs_baseline": round(vs_baseline, 4),

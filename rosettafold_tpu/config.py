@@ -64,6 +64,9 @@ class RoseTTAFoldConfig:
     # Row-chunking for the long-sequence path (bounds the outer-product and
     # FAVOR+ feature intermediates to O(chunk * L)); None = no chunking.
     long_chunk: Optional[int] = None
+    # Rematerialize the two-/three-track blocks on the backward pass (trades
+    # ~cbrt memory for recompute; enable for long-sequence / large-batch training).
+    remat: bool = False
     # Trunk compute dtype: "float32" (exact-parity default) or "bfloat16"
     # (MXU-native; softmax/LayerNorm/InstanceNorm statistics and the entire
     # SE(3) equivariant stack stay float32).

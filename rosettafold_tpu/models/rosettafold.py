@@ -46,7 +46,7 @@ class TwoTrackBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, msa, pair, *, deterministic: bool = True):
+    def __call__(self, msa, pair, deterministic: bool = True):
         msa, att = MsaUpdateUsingSelfAttention(
             d_msa=self.d_msa,
             d_ff=self.d_msa * 4,
@@ -112,7 +112,7 @@ class ThreeTrackBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, msa, pair, xyz, seq_onehot, aa_idx, *, deterministic: bool = True):
+    def __call__(self, msa, pair, xyz, seq_onehot, aa_idx, deterministic: bool = True):
         msa, pair = TwoTrackBlock(
             self.d_msa,
             self.d_pair,
@@ -172,7 +172,7 @@ class FinalBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, msa, pair, xyz, seq_onehot, aa_idx, *, deterministic: bool = True):
+    def __call__(self, msa, pair, xyz, seq_onehot, aa_idx, deterministic: bool = True):
         msa, pair = TwoTrackBlock(
             self.d_msa,
             self.d_pair,
@@ -226,6 +226,13 @@ class RoseTTAFold(nn.Module):
         cfg = self.config
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
+        if cfg.remat:
+            # deterministic flag stays static (last positional arg)
+            two_track_cls = nn.remat(TwoTrackBlock, static_argnums=(3,))
+            three_track_cls = nn.remat(ThreeTrackBlock, static_argnums=(6,))
+        else:
+            two_track_cls, three_track_cls = TwoTrackBlock, ThreeTrackBlock
+
         msa_emb = MsaEmbedding(
             d_input=cfg.d_input,
             d_msa=cfg.d_msa,
@@ -248,7 +255,7 @@ class RoseTTAFold(nn.Module):
 
         x = msa_emb
         for i in range(cfg.n_two_track_blocks):
-            x, pair = TwoTrackBlock(
+            x, pair = two_track_cls(
                 cfg.d_msa,
                 cfg.d_pair,
                 cfg.n_encoder_layers,
@@ -259,7 +266,7 @@ class RoseTTAFold(nn.Module):
                 long_chunk=cfg.long_chunk,
                 dtype=dtype,
                 name=f"two_track_{i}",
-            )(x, pair, deterministic=deterministic)
+            )(x, pair, deterministic)
 
         xyz = InitialCoordGenerationWithMsaAndPair(
             d_msa=cfg.d_msa,
@@ -274,7 +281,7 @@ class RoseTTAFold(nn.Module):
         )(x, pair, seq_onehot, aa_idx, deterministic=deterministic)
 
         for i in range(cfg.n_three_track_blocks - 1):
-            x, pair, xyz = ThreeTrackBlock(
+            x, pair, xyz = three_track_cls(
                 cfg.d_msa,
                 cfg.d_pair,
                 cfg.d_node,
@@ -290,7 +297,7 @@ class RoseTTAFold(nn.Module):
                 long_chunk=cfg.long_chunk,
                 dtype=dtype,
                 name=f"three_track_{i}",
-            )(x, pair, xyz, seq_onehot, aa_idx, deterministic=deterministic)
+            )(x, pair, xyz, seq_onehot, aa_idx, deterministic)
 
         x, pair, xyz, plddt = FinalBlock(
             cfg.d_msa,

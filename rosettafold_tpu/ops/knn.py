@@ -50,7 +50,13 @@ def knn_adjacency(
     i_ix = jnp.arange(L)[None, :, None]
     adj = adj.at[b_ix, i_ix, nbr_idx].set(True)
 
-    return jnp.logical_or(adj, sep < kmin)
+    cond = jnp.logical_or(adj, sep < kmin)
+    # Always exclude self edges. DIVERGENCE from the reference: its top-k spans
+    # every node (including self) once n_neighbors >= L (:844-847), and a
+    # self-edge has a zero displacement whose spherical-harmonic basis is not
+    # rotation-covariant — it silently breaks SE(3) equivariance in that regime
+    # (measured: max displacement error 15.3 vs 5e-3 at L=128, K=128).
+    return cond & ~jnp.eye(L, dtype=bool)[None]
 
 
 def incoming_mask(cond: jnp.ndarray) -> jnp.ndarray:
@@ -87,10 +93,9 @@ def knn_gather_indices(
 
     k = min(n_neighbors, L)
     _, topk_idx = jax.lax.top_k(-pdist, k)  # (B, L, k): k nearest i of each j
-    # NOTE: when k == L the top-k spans every node including self — the dense
-    # path (and the reference, rosettafold_pytorch.py:844-847) has the same
-    # behavior, so the self edge is intentionally kept in that regime.
-    topk_valid = jnp.ones((B, L, k), bool)
+    # Self edges are always excluded (see knn_adjacency: the reference keeps
+    # them when K >= L, which breaks equivariance; we diverge deliberately).
+    topk_valid = topk_idx != jnp.arange(L)[None, :, None]
 
     # Sequence band: offsets -(kmin-1)..-1, 1..kmin-1 relative to aa_idx order.
     # (aa_idx is the residue numbering; band membership is |aa_i - aa_j| < kmin.

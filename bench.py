@@ -44,7 +44,7 @@ def main():
         max_len=max(260, L + 10),
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         attn_impl=os.environ.get("BENCH_ATTN", "pallas"),
-        se3_impl=os.environ.get("BENCH_SE3", "gather"),
+        se3_impl=os.environ.get("BENCH_SE3", "dense" if L <= 256 else "gather"),
         long_chunk=None if L <= 384 else 128,
     )
     model = RoseTTAFold(config=cfg)

@@ -111,10 +111,14 @@ class PairwiseConv(nn.Module):
     nc_out: int
     edge_dim: int = 0
 
+    return_radial: bool = False  # skip kernel assembly; caller fuses the einsums
+
     @nn.compact
     def __call__(self, feat, basis):
         num_freq = 2 * min(self.degree_in, self.degree_out) + 1
         R = RadialFunc(num_freq, self.nc_in, self.nc_out, self.edge_dim, name="rp")(feat)
+        if self.return_radial:
+            return R  # (..., nc_out, nc_in, nf)
         B = basis[f"{self.degree_in},{self.degree_out}"]  # (..., 2do+1, 2di+1, nf)
         # kernel[..., o, mo, c, mi] = sum_f R[..., o, c, f] * B[..., mo, mi, f]
         return jnp.einsum("...ocf,...mnf->...omcn", R, B,
@@ -146,16 +150,25 @@ class GConvSE3Partial(nn.Module):
             msg = None
             for di in self.f_in.degrees:
                 mi = self.f_in.dict[di]
-                kernel = PairwiseConv(
-                    di, mi, do, mo, self.edge_dim, name=f"pc_{di}_{do}"
-                )(edge_feat, basis)  # (B,J,S,mo,2do+1,mi,2di+1)
+                # Fused form of PairwiseConv + message: never materializes the
+                # per-edge (mo, 2do+1, mi, 2di+1) kernel tensor; XLA contracts
+                # src x basis first (cheap) then radial weights.
+                R = PairwiseConv(
+                    di, mi, do, mo, self.edge_dim, return_radial=True,
+                    name=f"pc_{di}_{do}",
+                )(edge_feat, basis)  # (B,J,S,mo_c,mi_c,nf)
+                B = basis[f"{di},{do}"]  # (B,J,S,2do+1,2di+1,nf)
                 if h[di].ndim == 4:
                     # dense layout: src features (B, I, mi, 2di+1), S == I == L
-                    contrib = jnp.einsum("bjiomcn,bicn->bjiom", kernel, h[di],
+                    t = jnp.einsum("bjimnf,bicn->bjimcf", B, h[di],
+                                   precision=lax.Precision.HIGHEST)
+                    contrib = jnp.einsum("bjiocf,bjimcf->bjiom", R, t,
                                          precision=lax.Precision.HIGHEST)
                 else:
                     # gather layout: pre-gathered src features (B, J, S, mi, 2di+1)
-                    contrib = jnp.einsum("bjsomcn,bjscn->bjsom", kernel, h[di],
+                    t = jnp.einsum("bjsmnf,bjscn->bjsmcf", B, h[di],
+                                   precision=lax.Precision.HIGHEST)
+                    contrib = jnp.einsum("bjsocf,bjsmcf->bjsom", R, t,
                                          precision=lax.Precision.HIGHEST)
                 msg = contrib if msg is None else msg + contrib
             out[do] = msg  # (B, J, S, mo, 2do+1)

@@ -1,0 +1,90 @@
+"""Inference pipeline (tiny config) + utils coverage."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rosettafold_tpu import PerformerConfig, RoseTTAFoldConfig
+from rosettafold_tpu.data.vocab import AA_ORDER
+
+
+@pytest.fixture
+def a3m_file(tmp_path):
+    rng = np.random.default_rng(0)
+    L = 24
+    seq = "".join(AA_ORDER[i] for i in rng.integers(0, 20, L))
+    lines = [">q", seq]
+    for n in range(6):
+        s = list(seq)
+        for i in rng.integers(0, L, 4):
+            s[i] = "-"
+        lines += [f">h{n}", "".join(s)]
+    f = tmp_path / "t.a3m"
+    f.write_text("\n".join(lines))
+    return str(f)
+
+
+def _tiny_cfg(L):
+    return RoseTTAFoldConfig(
+        d_msa=24, d_pair=16, d_node=8, d_edge=8, d_state=8,
+        n_two_track_blocks=1, n_three_track_blocks=2, n_encoder_layers=1,
+        max_len=max(32, L), n_neighbors=(4, 4),
+        performer=PerformerConfig(dim_head=8, nb_features=8),
+    )
+
+
+def test_predict_pipeline_tiny(a3m_file, tmp_path):
+    from rosettafold_tpu.predict import predict
+    from rosettafold_tpu.data.pdb import read_pdb_backbone, write_pdb
+    import jax
+    import jax.numpy as jnp
+
+    logits, xyz, plddt, (msa, seq, aa_idx) = predict(
+        a3m_file, n_seq=4, config=_tiny_cfg(24)
+    )
+    L = msa.shape[2]
+    assert logits["dist"].shape == (1, L, L, 37)
+    assert xyz.shape == (1, L, 3, 3)
+
+    out = str(tmp_path / "pred.pdb")
+    write_pdb(out, np.asarray(xyz)[0], seq[0], np.asarray(jax.nn.sigmoid(plddt))[0])
+    xyz2, _ = read_pdb_backbone(out)
+    assert xyz2.shape == (L, 3, 3)
+
+
+def test_count_parameters_and_summary():
+    import jax
+    import jax.numpy as jnp
+    from rosettafold_tpu.utils.params import count_parameters, parameter_summary, tree_norms
+
+    params = {"a": {"w": jnp.ones((3, 4)), "b": jnp.ones(4)}, "c": {"w": jnp.ones(2)}}
+    assert count_parameters(params) == 12 + 4 + 2
+    summary = parameter_summary(params, depth=1)
+    assert summary == {"a": 16, "c": 2}
+    norms = tree_norms(params)
+    np.testing.assert_allclose(float(norms["c"]), np.sqrt(2.0), atol=1e-6)
+
+
+def test_profile_decorator_and_timings():
+    from rosettafold_tpu.utils import profiling
+
+    profiling.clear_timings()
+
+    @profiling.profile(name="myop")
+    def f(x):
+        return x + 1
+
+    assert f(1) == 2
+    assert "myop" in profiling.get_timings()
+
+
+def test_run_info(tmp_path):
+    from rosettafold_tpu.utils.run_info import make_logdir, write_info_file
+
+    d = make_logdir(str(tmp_path), "run")
+    path = write_info_file(d, params={"w": np.ones((2, 2))}, extra={"note": "x"})
+    info = json.load(open(path))
+    assert info["n_parameters"] == 4 and info["note"] == "x"
+    assert "devices" in info

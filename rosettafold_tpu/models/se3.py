@@ -135,8 +135,13 @@ def _masked_softmax(logits: jnp.ndarray, mask: jnp.ndarray, axis: int) -> jnp.nd
 
 class GConvSE3Partial(nn.Module):
     """Node -> edge partial convolution (reference modules.py:561-680), used for
-    the K and V embeddings of the attention. Output per degree:
-    (B, L_dst, L_src, m_out*(2d_out+1) split later)."""
+    the K and V embeddings of the attention.
+
+    Output per degree: (B, m_out, 2*d_out+1, J, S) — channel dims FIRST, edge
+    dims (dst J, src-slot S) LAST. TPU buffers tile the trailing two axes as
+    (8, 128); putting the big edge axes there keeps every materialized edge
+    tensor compact, where a (..., m, 2d+1)-trailing layout pads 10-50x (the
+    cause of training OOMs at full size)."""
 
     f_in: Fiber
     f_out: Fiber
@@ -152,7 +157,8 @@ class GConvSE3Partial(nn.Module):
                 mi = self.f_in.dict[di]
                 # Fused form of PairwiseConv + message: never materializes the
                 # per-edge (mo, 2do+1, mi, 2di+1) kernel tensor; XLA contracts
-                # src x basis first (cheap) then radial weights.
+                # src x basis first (cheap) then radial weights. Intermediate
+                # and output layouts keep (J, S) as the trailing axes.
                 R = PairwiseConv(
                     di, mi, do, mo, self.edge_dim, return_radial=True,
                     name=f"pc_{di}_{do}",
@@ -160,18 +166,18 @@ class GConvSE3Partial(nn.Module):
                 B = basis[f"{di},{do}"]  # (B,J,S,2do+1,2di+1,nf)
                 if h[di].ndim == 4:
                     # dense layout: src features (B, I, mi, 2di+1), S == I == L
-                    t = jnp.einsum("bjimnf,bicn->bjimcf", B, h[di],
+                    t = jnp.einsum("bjimnf,bicn->bmfcji", B, h[di],
                                    precision=lax.Precision.HIGHEST)
-                    contrib = jnp.einsum("bjiocf,bjimcf->bjiom", R, t,
+                    contrib = jnp.einsum("bjiocf,bmfcji->bomji", R, t,
                                          precision=lax.Precision.HIGHEST)
                 else:
                     # gather layout: pre-gathered src features (B, J, S, mi, 2di+1)
-                    t = jnp.einsum("bjsmnf,bjscn->bjsmcf", B, h[di],
+                    t = jnp.einsum("bjsmnf,bjscn->bmfcjs", B, h[di],
                                    precision=lax.Precision.HIGHEST)
-                    contrib = jnp.einsum("bjsocf,bjsmcf->bjsom", R, t,
+                    contrib = jnp.einsum("bjsocf,bmfcjs->bomjs", R, t,
                                          precision=lax.Precision.HIGHEST)
                 msg = contrib if msg is None else msg + contrib
-            out[do] = msg  # (B, J, S, mo, 2do+1)
+            out[do] = msg  # (B, m_out, 2do+1, J, S)
         return out
 
 
@@ -194,8 +200,10 @@ class GConvSE3(nn.Module):
         out = {}
         for do in self.f_out.degrees:
             mo = self.f_out.dict[do]
-            msg = jnp.where(mask[..., None, None], partial[do], 0.0)
-            agg = jnp.sum(msg, axis=2) / counts[..., None, None]
+            # partial[do]: (B, m, 2d+1, J, S); mask (B, J, S)
+            msg = jnp.where(mask[:, None, None], partial[do], 0.0)
+            agg = jnp.sum(msg, axis=-1)  # (B, m, 2d+1, J)
+            agg = jnp.moveaxis(agg, -1, 1) / counts[:, :, None, None]  # (B,J,m,2d+1)
             if self.self_interaction:
                 if self.flavor == "TFN":
                     W = self.param(
@@ -340,19 +348,27 @@ class GMABSE3(nn.Module):
 
     @nn.compact
     def __call__(self, v: Features, k: Features, q: Features, mask) -> Features:
-        kh = fiber2head(k, self.n_heads, self.f_key)  # (B, J, I, h, ck)
-        qh = fiber2head(q, self.n_heads, self.f_key)  # (B, J, h, ck)
-        e = jnp.einsum("bjihc,bjhc->bjih", kh, qh, precision=lax.Precision.HIGHEST)
+        # v/k per degree: (B, m, 2d+1, J, S) edge-last; q per degree: (B, J, m, 2d+1).
+        h = self.n_heads
+        k_parts = []
+        for d in self.f_key.degrees:
+            m = self.f_key.dict[d]
+            kd = k[d].reshape(k[d].shape[0], h, (m // h) * (2 * d + 1), *k[d].shape[-2:])
+            k_parts.append(kd)
+        kh = jnp.concatenate(k_parts, axis=2)  # (B, h, ck, J, S)
+        qh = fiber2head(q, h, self.f_key)  # (B, J, h, ck)
+
+        e = jnp.einsum("bhcjs,bjhc->bhjs", kh, qh, precision=lax.Precision.HIGHEST)
         e = e / math.sqrt(self.f_key.n_features)
-        att = _masked_softmax(e, mask[..., None], axis=2)  # softmax over src i
+        att = _masked_softmax(e, mask[:, None], axis=-1)  # softmax over src s
 
         out = {}
         for d in self.f_value.degrees:
             m = self.f_value.dict[d]
             vd = v[d].reshape(
-                *v[d].shape[:3], self.n_heads, m // self.n_heads, 2 * d + 1
-            )
-            agg = jnp.einsum("bjih,bjihcm->bjhcm", att, vd,
+                v[d].shape[0], h, m // h, 2 * d + 1, *v[d].shape[-2:]
+            )  # (B, h, m/h, 2d+1, J, S)
+            agg = jnp.einsum("bhjs,bhcmjs->bjhcm", att, vd,
                              precision=lax.Precision.HIGHEST)
             out[d] = agg.reshape(*agg.shape[:2], m, 2 * d + 1)
         return out

@@ -25,7 +25,7 @@ class PredictionHead(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, pair, *, deterministic: bool = True):
+    def __call__(self, pair, deterministic: bool = True):
         x = nn.LayerNorm(epsilon=1e-5, name="proj_ln")(pair)
         x = nn.Dense(self.in_channels, dtype=self.dtype, name="proj")(x)
         x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)

@@ -230,8 +230,14 @@ class RoseTTAFold(nn.Module):
             # deterministic flag stays static (last positional arg)
             two_track_cls = nn.remat(TwoTrackBlock, static_argnums=(3,))
             three_track_cls = nn.remat(ThreeTrackBlock, static_argnums=(6,))
+            final_cls = nn.remat(FinalBlock, static_argnums=(6,))
+            init_cls = nn.remat(InitialCoordGenerationWithMsaAndPair, static_argnums=(5,))
+            head_cls = nn.remat(PredictionHead, static_argnums=(2,))
         else:
             two_track_cls, three_track_cls = TwoTrackBlock, ThreeTrackBlock
+            final_cls = FinalBlock
+            init_cls = InitialCoordGenerationWithMsaAndPair
+            head_cls = PredictionHead
 
         msa_emb = MsaEmbedding(
             d_input=cfg.d_input,
@@ -268,7 +274,7 @@ class RoseTTAFold(nn.Module):
                 name=f"two_track_{i}",
             )(x, pair, deterministic)
 
-        xyz = InitialCoordGenerationWithMsaAndPair(
+        xyz = init_cls(
             d_msa=cfg.d_msa,
             d_pair=cfg.d_pair,
             d_node=cfg.d_node,
@@ -278,7 +284,7 @@ class RoseTTAFold(nn.Module):
             p_dropout=cfg.p_dropout,
             dtype=dtype,
             name="initial_coords",
-        )(x, pair, seq_onehot, aa_idx, deterministic=deterministic)
+        )(x, pair, seq_onehot, aa_idx, deterministic)
 
         for i in range(cfg.n_three_track_blocks - 1):
             x, pair, xyz = three_track_cls(
@@ -299,7 +305,7 @@ class RoseTTAFold(nn.Module):
                 name=f"three_track_{i}",
             )(x, pair, xyz, seq_onehot, aa_idx, deterministic)
 
-        x, pair, xyz, plddt = FinalBlock(
+        x, pair, xyz, plddt = final_cls(
             cfg.d_msa,
             cfg.d_pair,
             cfg.d_node,
@@ -315,15 +321,15 @@ class RoseTTAFold(nn.Module):
             long_chunk=cfg.long_chunk,
             dtype=dtype,
             name="final_block",
-        )(x, pair, xyz, seq_onehot, aa_idx, deterministic=deterministic)
+        )(x, pair, xyz, seq_onehot, aa_idx, deterministic)
 
-        logits = PredictionHead(
+        logits = head_cls(
             in_channels=cfg.d_pair,
             n_res_blocks=4,
             p_dropout=cfg.p_dropout,
             dtype=dtype,
             name="prediction_head",
-        )(pair, deterministic=deterministic)
+        )(pair, deterministic)
 
         # Public contract: float32 outputs regardless of the compute dtype.
         logits = {k: v.astype(jnp.float32) for k, v in logits.items()}

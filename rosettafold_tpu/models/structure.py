@@ -113,7 +113,7 @@ class InitialCoordGenerationWithMsaAndPair(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, msa, pair, seq_onehot, aa_idx, *, deterministic: bool = True):
+    def __call__(self, msa, pair, seq_onehot, aa_idx, deterministic: bool = True):
         msa = nn.LayerNorm(epsilon=1e-5, name="ln_msa")(msa)
         pair = nn.LayerNorm(epsilon=1e-5, name="ln_pair")(pair)
 

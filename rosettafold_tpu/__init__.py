@@ -14,13 +14,22 @@ __all__ = [
     "PerformerConfig",
     "tiny_config",
     "RoseTTAFold",
+    "predict",
+    "fit",
 ]
+
+_LAZY = {
+    "RoseTTAFold": ("rosettafold_tpu.models.rosettafold", "RoseTTAFold"),
+    "predict": ("rosettafold_tpu.predict", "predict"),
+    "fit": ("rosettafold_tpu.train.loop", "fit"),
+}
 
 
 def __getattr__(name):
-    # Lazy import so light-weight users (config-only) do not pay model import cost.
-    if name == "RoseTTAFold":
-        from .models.rosettafold import RoseTTAFold
+    # Lazy imports so light-weight users (config-only) do not pay model import cost.
+    if name in _LAZY:
+        import importlib
 
-        return RoseTTAFold
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
     raise AttributeError(name)

@@ -228,3 +228,16 @@ def test_coord_update_gather_equivariance():
         np.asarray(xyz_new, np.float64) @ R.T,
         atol=3e-3,
     )
+
+
+def test_knn_excludes_self_even_when_k_geq_l():
+    """Regression: self edges at K >= L broke SE(3) equivariance (the reference
+    keeps them, rosettafold_pytorch.py:844-847; we deliberately exclude them)."""
+    rng = np.random.default_rng(5)
+    xyz = jnp.asarray(rng.normal(size=(1, 9, 3, 3)) * 5, jnp.float32)
+    aa = jnp.tile(jnp.arange(9)[None], (1, 1))
+    cond = np.asarray(knn.knn_adjacency(xyz, aa, n_neighbors=9))
+    assert not np.diag(cond[0]).any()
+    idx, valid = knn.knn_gather_indices(xyz, aa, n_neighbors=9)
+    self_slots = np.asarray(idx[0]) == np.arange(9)[:, None]
+    assert not (self_slots & np.asarray(valid[0])).any()

@@ -243,6 +243,7 @@ def import_state_dict(
         {k: v for k, v in target_params.items()}
     )
     loaded, unmapped = [], []
+    loaded_dest = set()
 
     def get_subtree(tree, parts):
         for p in parts:
@@ -272,6 +273,7 @@ def import_state_dict(
                 continue
             sub[leaf] = v.astype(np.asarray(sub[leaf]).dtype)
             loaded.append(tname)
+            loaded_dest.add(".".join(parts))
             continue
         dest_leaf, v = _leaf_and_transform(
             "/".join(mod_parts), leaf, tval,
@@ -282,6 +284,17 @@ def import_state_dict(
             continue
         sub[dest_leaf] = v.astype(np.asarray(sub[dest_leaf]).dtype)
         loaded.append(tname)
+        loaded_dest.add(".".join(mod_parts + [dest_leaf]))
 
-    report = {"loaded": loaded, "unmapped": unmapped}
+    def leaf_paths(tree, prefix=()):
+        out = []
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.extend(leaf_paths(v, prefix + (k,)))
+            else:
+                out.append(".".join(prefix + (k,)))
+        return out
+
+    missing = sorted(p for p in leaf_paths(params) if p not in loaded_dest)
+    report = {"loaded": loaded, "unmapped": unmapped, "missing": missing}
     return params, report

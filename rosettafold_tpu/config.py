@@ -61,6 +61,10 @@ class RoseTTAFoldConfig:
     # "dense": masked L x L attention for the SE(3) module (exact, best for L<=384).
     # "gather": (B, L, K) neighborhood gather path for long sequences.
     se3_impl: str = "dense"
+    # False = reference-exact kNN compat: keep self edges when the top-k spans
+    # all nodes (n_neighbors >= L), matching rosettafold_pytorch.py:844-847.
+    # True (default) = always exclude self edges (equivariance-safe; PARITY.md #5).
+    knn_exclude_self: bool = True
     # Row-chunking for the long-sequence path (bounds the outer-product and
     # FAVOR+ feature intermediates to O(chunk * L)); None = no chunking.
     long_chunk: Optional[int] = None

@@ -85,9 +85,8 @@ class SoftTiedAttentionOverResidues(nn.Module):
         )(x, deterministic=deterministic)  # (B, N, h, L, 1)
         q = q * jnp.transpose(w, (0, 1, 3, 2, 4)) * scale  # (B, N, L, h, d)
 
-        use_pallas = (
-            self.attn_impl == "pallas" and not self.return_att and L % 128 == 0
-        )
+        # any L: the kernel pad-shims to the next 128 multiple internally
+        use_pallas = self.attn_impl == "pallas" and not self.return_att
         if use_pallas:
             from ..ops.pallas.tied_attention import tied_flash_attention
 

@@ -108,6 +108,7 @@ class ThreeTrackBlock(nn.Module):
     performer_dim_head: int = 64
     attn_impl: str = "xla"
     se3_impl: str = "dense"
+    knn_exclude_self: bool = True
     long_chunk: int = None
     dtype: Any = None
 
@@ -135,6 +136,7 @@ class ThreeTrackBlock(nn.Module):
             n_neighbors=self.n_neighbors,
             p_dropout=self.p_dropout,
             se3_impl=self.se3_impl,
+            knn_exclude_self=self.knn_exclude_self,
             name="coord_update_with_msa_and_pair",
         )(xyz, msa, pair, aa_idx, seq_onehot, deterministic=deterministic)
 
@@ -168,6 +170,7 @@ class FinalBlock(nn.Module):
     performer_dim_head: int = 64
     attn_impl: str = "xla"
     se3_impl: str = "dense"
+    knn_exclude_self: bool = True
     long_chunk: int = None
     dtype: Any = None
 
@@ -195,6 +198,7 @@ class FinalBlock(nn.Module):
             n_neighbors=self.n_neighbors,
             p_dropout=self.p_dropout,
             se3_impl=self.se3_impl,
+            knn_exclude_self=self.knn_exclude_self,
             name="coord_update_with_msa_and_pair",
         )(xyz, msa, pair, aa_idx, seq_onehot, deterministic=deterministic)
 
@@ -300,6 +304,7 @@ class RoseTTAFold(nn.Module):
                 performer_dim_head=cfg.performer.dim_head,
                 attn_impl=cfg.attn_impl,
                 se3_impl=cfg.se3_impl,
+                knn_exclude_self=cfg.knn_exclude_self,
                 long_chunk=cfg.long_chunk,
                 dtype=dtype,
                 name=f"three_track_{i}",
@@ -318,6 +323,7 @@ class RoseTTAFold(nn.Module):
             performer_dim_head=cfg.performer.dim_head,
             attn_impl=cfg.attn_impl,
             se3_impl=cfg.se3_impl,
+            knn_exclude_self=cfg.knn_exclude_self,
             long_chunk=cfg.long_chunk,
             dtype=dtype,
             name="final_block",

@@ -156,6 +156,9 @@ class CoordUpdateWithMsaAndPair(nn.Module):
     # "dense": exact reverse-topk incoming sets on an (L, L) mask (parity path).
     # "gather": (L, S) gathered neighborhoods, O(L*S) memory for long sequences.
     se3_impl: str = "dense"
+    # False = reference-exact compat (self edges kept when top-k spans all nodes,
+    # rosettafold_pytorch.py:844-847); True = the repo's equivariance-safe default.
+    knn_exclude_self: bool = True
 
     @nn.compact
     def __call__(self, xyz, msa, pair, aa_idx, seq_onehot, *, deterministic: bool = True):
@@ -187,7 +190,9 @@ class CoordUpdateWithMsaAndPair(nn.Module):
             )
         else:
             # Static dense kNN mask; dst-major (L, L) layouts (exact parity).
-            cond = knn.knn_adjacency(xyz, aa_idx, self.n_neighbors)  # (B, i, j)
+            cond = knn.knn_adjacency(
+                xyz, aa_idx, self.n_neighbors, exclude_self=self.knn_exclude_self
+            )  # (B, i, j)
             mask = knn.incoming_mask(cond)  # (B, j, i)
             rel_pos = ca[:, :, None, :] - ca[:, None, :, :]  # [b,j,i] = x_j - x_i
             edge_w = jnp.swapaxes(edge, 1, 2)  # w[b, j, i] = edge[b, i, j]

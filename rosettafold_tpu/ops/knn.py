@@ -26,6 +26,7 @@ def knn_adjacency(
     n_neighbors: int,
     kmin: int = 9,
     ca_index: int = 1,
+    exclude_self: bool = True,
 ) -> jnp.ndarray:
     """Boolean adjacency cond[b, i, j]: edge i -> j exists iff j is among the
     n_neighbors nearest CAs of i, OR |aa_i - aa_j| < kmin (self excluded from
@@ -51,7 +52,11 @@ def knn_adjacency(
     adj = adj.at[b_ix, i_ix, nbr_idx].set(True)
 
     cond = jnp.logical_or(adj, sep < kmin)
-    # Always exclude self edges. DIVERGENCE from the reference: its top-k spans
+    if not exclude_self:
+        # Reference-exact compat mode (parity testing): keep whatever the top-k
+        # picked, including self edges when n_neighbors >= L (:844-847).
+        return cond
+    # Default: exclude self edges. DIVERGENCE from the reference: its top-k spans
     # every node (including self) once n_neighbors >= L (:844-847), and a
     # self-edge has a zero displacement whose spherical-harmonic basis is not
     # rotation-covariant — it silently breaks SE(3) equivariance in that regime

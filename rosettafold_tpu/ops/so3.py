@@ -163,6 +163,21 @@ _CONSTRAINT_ANGLES = (
 )
 
 
+# The null-space vector is unique only up to sign; the sign is an arbitrary
+# LAPACK artifact, NOT a mathematical convention. The reference's signs come
+# from torch.svd (utils_steerable.py:22-26). We canonicalize ours (max-|entry|
+# positive) and flip per this table, measured against the reference's own
+# solver in this image (tests/test_parity.py pins it), so that imported
+# reference weights see an identical basis. Keys (J, order_in, order_out) up to
+# the public TFN surface (orders <= 2, J <= 4); unlisted keys stay canonical.
+_REFERENCE_Q_SIGNS = {
+    (0, 0, 0): 1, (1, 0, 1): -1, (2, 0, 2): -1, (1, 1, 0): -1, (0, 1, 1): 1,
+    (1, 1, 1): 1, (2, 1, 1): -1, (1, 1, 2): -1, (2, 1, 2): 1, (3, 1, 2): -1,
+    (2, 2, 0): -1, (1, 2, 1): 1, (2, 2, 1): -1, (3, 2, 1): -1, (0, 2, 2): 1,
+    (1, 2, 2): 1, (2, 2, 2): -1, (3, 2, 2): -1, (4, 2, 2): 1,
+}
+
+
 @functools.lru_cache(maxsize=None)
 def basis_transformation_Q_J(J: int, order_in: int, order_out: int) -> np.ndarray:
     """Solve the SE(3) kernel constraint for subspace J (utils_steerable.py:37-78).
@@ -171,7 +186,8 @@ def basis_transformation_Q_J(J: int, order_in: int, order_out: int) -> np.ndarra
     unique (up to sign) intertwiner with
         kron(D_out(g), D_in(g)) @ Q_J = Q_J @ D_J(g)  for all g in SO(3).
     Solved host-side as the common null space of Sylvester operators at the five
-    fixed angles; uniqueness is asserted.
+    fixed angles; uniqueness is asserted. Sign pinned to the reference's
+    (_REFERENCE_Q_SIGNS above).
     """
     mats = []
     for a, b, c in _CONSTRAINT_ANGLES:
@@ -183,7 +199,12 @@ def basis_transformation_Q_J(J: int, order_in: int, order_out: int) -> np.ndarra
     _, s, vt = np.linalg.svd(A)  # s has K entries, vt is (K, K)
     null = vt[s < 1e-10]
     assert null.shape[0] == 1, f"non-unique null space for J={J}: {null.shape}"
-    Q = null[0].reshape((2 * order_out + 1) * (2 * order_in + 1), 2 * J + 1)
+    q = null[0]
+    # canonicalize: make the largest-|.| entry positive, then apply the
+    # reference-sign table
+    q = q * np.sign(q[np.argmax(np.abs(q))])
+    q = q * _REFERENCE_Q_SIGNS.get((J, order_in, order_out), 1)
+    Q = q.reshape((2 * order_out + 1) * (2 * order_in + 1), 2 * J + 1)
 
     # Verify the intertwining property at random angles (same check as the
     # reference, utils_steerable.py:72-75).

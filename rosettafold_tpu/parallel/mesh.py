@@ -39,6 +39,7 @@ def batch_shardings(mesh: Mesh):
         "seq": NamedSharding(mesh, P("dp", None)),  # (B, L)
         "aa_idx": NamedSharding(mesh, P("dp", None)),  # (B, L)
         "xyz": NamedSharding(mesh, P("dp", None, None, None)),  # (B, L, 3, 3)
+        "mask": NamedSharding(mesh, P("dp", None)),  # (B, L)
     }
 
 

@@ -111,9 +111,17 @@ def sixd_labels(xyz: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     }
 
 
-def lddt_ca(pred_xyz: jnp.ndarray, true_xyz: jnp.ndarray, cutoff: float = 15.0) -> jnp.ndarray:
+def lddt_ca(
+    pred_xyz: jnp.ndarray,
+    true_xyz: jnp.ndarray,
+    cutoff: float = 15.0,
+    residue_mask: jnp.ndarray = None,
+) -> jnp.ndarray:
     """Per-residue CA lDDT in [0, 1] (B, L): fraction of preserved local distances
-    at thresholds 0.5/1/2/4 A among true-structure neighbors within `cutoff`."""
+    at thresholds 0.5/1/2/4 A among true-structure neighbors within `cutoff`.
+
+    residue_mask (B, L) bool: padded residues are excluded from the neighbor sets
+    (their own rows are arbitrary and must be masked out by the caller)."""
     def pdist(x):
         d = x[:, :, None, :] - x[:, None, :, :]
         return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-8)
@@ -122,14 +130,22 @@ def lddt_ca(pred_xyz: jnp.ndarray, true_xyz: jnp.ndarray, cutoff: float = 15.0) 
     dp = pdist(pred_xyz[..., CA_IDX, :])
     L = dt.shape[1]
     incl = (dt < cutoff) & ~jnp.eye(L, dtype=bool)[None]
+    if residue_mask is not None:
+        incl = incl & residue_mask[:, None, :].astype(bool)
     diff = jnp.abs(dt - dp)
     score = sum((diff < t).astype(jnp.float32) for t in (0.5, 1.0, 2.0, 4.0)) / 4.0
     denom = jnp.maximum(jnp.sum(incl, axis=-1), 1)
     return jnp.sum(score * incl, axis=-1) / denom
 
 
-def drmsd(pred_xyz: jnp.ndarray, true_xyz: jnp.ndarray) -> jnp.ndarray:
-    """Superposition-free distance-matrix RMSD over CA atoms (scalar per batch)."""
+def drmsd(
+    pred_xyz: jnp.ndarray,
+    true_xyz: jnp.ndarray,
+    residue_mask: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Superposition-free distance-matrix RMSD over CA atoms (scalar per batch).
+
+    residue_mask (B, L) bool: only valid x valid off-diagonal pairs contribute."""
     def pdist(x):
         d = x[:, :, None, :] - x[:, None, :, :]
         return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-8)
@@ -138,5 +154,8 @@ def drmsd(pred_xyz: jnp.ndarray, true_xyz: jnp.ndarray) -> jnp.ndarray:
     dp = pdist(pred_xyz[..., CA_IDX, :])
     L = dt.shape[1]
     off = ~jnp.eye(L, dtype=bool)[None]
+    if residue_mask is not None:
+        m = residue_mask.astype(bool)
+        off = off & m[:, :, None] & m[:, None, :]
     sq = jnp.where(off, (dt - dp) ** 2, 0.0)
     return jnp.sqrt(jnp.sum(sq, axis=(1, 2)) / jnp.maximum(jnp.sum(off, axis=(1, 2)), 1))

@@ -41,7 +41,7 @@ def fit(
     mesh = make_mesh(n_devices, sp=sp) if (n_devices and n_devices > 1) else None
 
     def to_model_batch(raw):
-        b = {k: jnp.asarray(v) for k, v in raw.items() if k != "mask"}
+        b = {k: jnp.asarray(v) for k, v in raw.items()}
         return shard_batch(mesh, b) if mesh is not None else b
 
     with jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext():

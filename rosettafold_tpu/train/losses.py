@@ -25,13 +25,25 @@ def binned_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.nda
     return -jnp.sum(jnp.where(mask, ll, 0.0)) / denom
 
 
-def plddt_loss(plddt_logits: jnp.ndarray, pred_xyz: jnp.ndarray, true_xyz: jnp.ndarray) -> jnp.ndarray:
+def plddt_loss(
+    plddt_logits: jnp.ndarray,
+    pred_xyz: jnp.ndarray,
+    true_xyz: jnp.ndarray,
+    residue_mask: jnp.ndarray = None,
+) -> jnp.ndarray:
     """MSE between sigmoid(plddt head) and the true per-residue CA lDDT.
 
     The head emits raw linear outputs (reference :1114,:1124-1126 applies no
-    activation); we interpret them through a sigmoid for the [0,1] target."""
-    target = jax.lax.stop_gradient(geometry.lddt_ca(pred_xyz, true_xyz))
-    return jnp.mean((jax.nn.sigmoid(plddt_logits) - target) ** 2)
+    activation); we interpret them through a sigmoid for the [0,1] target.
+    Padded residues (residue_mask False) are excluded from the mean."""
+    target = jax.lax.stop_gradient(
+        geometry.lddt_ca(pred_xyz, true_xyz, residue_mask=residue_mask)
+    )
+    err = (jax.nn.sigmoid(plddt_logits) - target) ** 2
+    if residue_mask is None:
+        return jnp.mean(err)
+    m = residue_mask.astype(err.dtype)
+    return jnp.sum(err * m) / jnp.maximum(jnp.sum(m), 1)
 
 
 DEFAULT_WEIGHTS = {
@@ -47,12 +59,18 @@ DEFAULT_WEIGHTS = {
 def rosettafold_loss(
     outputs: Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray],
     true_xyz: jnp.ndarray,
+    residue_mask: jnp.ndarray = None,
     weights: Dict[str, float] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total loss from model outputs (logits, xyz, plddt) and true backbone coords.
 
     Labels are derived on the fly from true_xyz (B, L, 3, 3) via the 6D geometry
     pipeline — the natural self-supervised setup for PDB training data.
+
+    residue_mask (B, L) bool/float marks valid (non-padded) residues; padded
+    positions carry zeroed coordinates in the dataset (data/dataset.py) and are
+    excluded from every term (CE pairs, dRMSD pairs, lDDT neighbors and plDDT
+    positions) so variable-length crops train uncorrupted.
     """
     w = dict(DEFAULT_WEIGHTS)
     if weights:
@@ -60,6 +78,9 @@ def rosettafold_loss(
     logits, pred_xyz, plddt = outputs
     labels = geometry.sixd_labels(true_xyz)
     mask = labels["mask_2d"]
+    if residue_mask is not None:
+        m = residue_mask.astype(bool)
+        mask = mask & m[:, :, None] & m[:, None, :]
 
     metrics = {}
     total = 0.0
@@ -68,11 +89,11 @@ def rosettafold_loss(
         metrics[f"ce_{head}"] = ce
         total = total + w[head] * ce
 
-    xyz_term = jnp.mean(geometry.drmsd(pred_xyz, true_xyz))
+    xyz_term = jnp.mean(geometry.drmsd(pred_xyz, true_xyz, residue_mask=residue_mask))
     metrics["drmsd"] = xyz_term
     total = total + w["xyz"] * xyz_term
 
-    pl = plddt_loss(plddt, pred_xyz, true_xyz)
+    pl = plddt_loss(plddt, pred_xyz, true_xyz, residue_mask=residue_mask)
     metrics["plddt_mse"] = pl
     total = total + w["plddt"] * pl
 

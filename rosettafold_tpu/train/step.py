@@ -48,7 +48,8 @@ def make_train_step(config: RoseTTAFoldConfig, donate: bool = True):
     """Returns a jitted train_step(state, batch, rng) -> (state, metrics).
 
     batch: {"msa": (B,N,L) int, "seq": (B,L) int, "aa_idx": (B,L) int,
-            "xyz": (B,L,3,3) float true coords}.
+            "xyz": (B,L,3,3) float true coords,
+            "mask": (B,L) optional bool/float valid-residue mask}.
     """
     model = RoseTTAFold(config=config)
 
@@ -61,7 +62,7 @@ def make_train_step(config: RoseTTAFoldConfig, donate: bool = True):
             deterministic=False,
             rngs={"dropout": rng},
         )
-        return rosettafold_loss(outputs, batch["xyz"])
+        return rosettafold_loss(outputs, batch["xyz"], residue_mask=batch.get("mask"))
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, Any]]:
         step_rng = jax.random.fold_in(rng, state.step)
@@ -82,7 +83,7 @@ def make_eval_step(config: RoseTTAFoldConfig):
         outputs = model.apply(
             {"params": params}, batch["msa"], batch["seq"], batch["aa_idx"]
         )
-        _, metrics = rosettafold_loss(outputs, batch["xyz"])
+        _, metrics = rosettafold_loss(outputs, batch["xyz"], residue_mask=batch.get("mask"))
         return metrics
 
     return jax.jit(eval_step)

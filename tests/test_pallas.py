@@ -56,3 +56,29 @@ def test_soft_tied_attention_pallas_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out_pal), np.asarray(out_xla), atol=5e-5
     )
+
+
+def test_tied_flash_pad_shim_any_length():
+    """L=250 (config-2 shape, not a 128 multiple) must use the kernel via the
+    internal pad shim and match the reference computation (VERDICT r1 #7)."""
+    BH, L, ND, NDv = 2, 250, 32, 48
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (BH, L, ND)) * 0.3
+    k = jax.random.normal(ks[1], (BH, L, ND)) * 0.3
+    v = jax.random.normal(ks[2], (BH, L, NDv))
+    out = jax.jit(tied_flash_attention)(q, k, v)
+    ref = jax.jit(_ref_attention)(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_soft_tied_attention_pallas_odd_length():
+    B, N, L, D = 1, 3, 77, 48
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, N, L, D))
+    xla_mod = SoftTiedAttentionOverResidues(d_msa=D, n_heads=4, p_dropout=0.0)
+    pal_mod = SoftTiedAttentionOverResidues(
+        d_msa=D, n_heads=4, p_dropout=0.0, attn_impl="pallas"
+    )
+    params = jinit(xla_mod, jax.random.PRNGKey(1), x)
+    out_xla = japply(xla_mod, params, x)
+    out_pal = japply(pal_mod, params, x)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla), atol=5e-5)

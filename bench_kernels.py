@@ -1,0 +1,292 @@
+"""Per-family kernel benchmarks with analytic FLOP counts and roofline %.
+
+BASELINE config 4 asks for >=50% of the attention roofline at L=1024. This
+harness times each hot family on the real chip and reports achieved FLOP/s
+against the chip's peak (v5e/"TPU v5 lite": ~197 TFLOP/s bf16, ~98 TFLOP/s
+f32, ~819 GB/s HBM). Each family's arithmetic intensity decides its roofline:
+compute-bound families are scored against MXU peak, bandwidth-bound ones
+against HBM.
+
+Timing uses the checksum-fetch pattern (block_until_ready does not synchronize
+on this tunneled runtime; see bench.py).
+
+Usage: python bench_kernels.py [--L 1024] [--dtype bfloat16] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/rftpu_jax_cache")
+
+PEAKS = {
+    # TPU v5 lite (v5e) public specs
+    "bf16_flops": 197e12,
+    "f32_flops": 98.5e12,
+    "hbm_gbs": 819e9,
+}
+
+
+def _time(fn, *args, iters=20, warmup=3, reps=1):
+    """Median seconds per call; each call fetches a scalar checksum.
+
+    reps > 1: fn must be a (carry, *args) -> carry step; it is chained inside
+    one jit via fori_loop so ops far smaller than the tunnel round-trip
+    (~30 ms) are still measurable. Returned time is per rep."""
+    if reps == 1:
+        f = jax.jit(fn)
+    else:
+        step = fn
+
+        def loop(*args):
+            def body(_, c):
+                return step(c, *args[1:])
+            return jnp.sum(
+                jax.lax.fori_loop(0, reps, body, args[0]).astype(jnp.float32)
+            )
+
+        f = jax.jit(loop)
+    for _ in range(warmup):
+        float(f(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(f(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / reps
+
+
+def bench_tied_attention(L, dtype, B=1, N=8, h=12, d=32):
+    """The fused tied-attention kernel: q/k (BH, L, N*d), v same."""
+    from rosettafold_tpu.ops.pallas.tied_attention import tied_flash_attention
+
+    BH, ND = B * h, N * d
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = (jax.random.normal(ks[0], (BH, L, ND)) * 0.1).astype(dtype)
+    k = (jax.random.normal(ks[1], (BH, L, ND)) * 0.1).astype(dtype)
+    v = jax.random.normal(ks[2], (BH, L, ND)).astype(dtype)
+
+    # chain: v_{t+1} = attn(q, k, v_t); 20 reps amortize the tunnel RTT
+    sec = _time(lambda v, q, k: tied_flash_attention(q, k, v), v, q, k, reps=300, iters=5)
+    flops = 2 * BH * L * L * ND * 2  # logits + AV
+    bytes_ = (3 * BH * L * ND + BH * L * ND) * q.dtype.itemsize
+    return dict(sec=sec, flops=flops, bytes=bytes_)
+
+
+def bench_tied_attention_xla(L, dtype, B=1, N=8, h=12, d=32):
+    BH, ND = B * h, N * d
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = (jax.random.normal(ks[0], (BH, L, ND)) * 0.1).astype(dtype)
+    k = (jax.random.normal(ks[1], (BH, L, ND)) * 0.1).astype(dtype)
+    v = jax.random.normal(ks[2], (BH, L, ND)).astype(dtype)
+
+    def att(v, q, k):
+        s = jnp.einsum("bie,bje->bij", q, k, preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        return jnp.einsum("bij,bjd->bid", a, v,
+                          preferred_element_type=jnp.float32).astype(v.dtype)
+
+    sec = _time(att, v, q, k, reps=300, iters=5)
+    flops = 2 * BH * L * L * ND * 2
+    bytes_ = (3 * BH * L * ND) * q.dtype.itemsize + 2 * BH * L * L * 4
+    return dict(sec=sec, flops=flops, bytes=bytes_)
+
+
+def bench_favor_axial(L, dtype, d_pair=288, h=8, dh=64, m=320):
+    """One generalized-FAVOR+ axial pass over the pair rows: (L, L, d_pair)."""
+    from rosettafold_tpu.ops.performer import (favor_attention,
+                                               gaussian_orthogonal_matrix)
+
+    proj = jnp.asarray(gaussian_orthogonal_matrix(m, dh, seed=0))
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = (jax.random.normal(ks[0], (L, h, L, dh)) * 0.1).astype(dtype)
+    k = (jax.random.normal(ks[1], (L, h, L, dh)) * 0.1).astype(dtype)
+    v = jax.random.normal(ks[2], (L, h, L, dh)).astype(dtype)
+
+    sec = _time(
+        lambda q, k, v: jnp.sum(
+            favor_attention(q, k, v, proj, generalized=True).astype(jnp.float32)
+        ),
+        q, k, v,
+    )
+    rows = L * h
+    flops = (
+        2 * rows * L * dh * m * 2      # feature maps for q and k
+        + 2 * rows * m * L * dh        # context k_feat^T v
+        + 2 * rows * L * m * dh        # out = q_feat @ context
+        + 2 * rows * L * m             # normalizer
+    )
+    bytes_ = 3 * rows * L * dh * q.dtype.itemsize
+    return dict(sec=sec, flops=flops, bytes=bytes_)
+
+
+def bench_favor_axial_pallas(L, dtype, d_pair=288, h=8, dh=64, m=320):
+    """The fused Pallas linear-attention kernel at the same shapes."""
+    from rosettafold_tpu.ops.pallas.linear_attention import (
+        generalized_linear_attention,
+    )
+    from rosettafold_tpu.ops.performer import gaussian_orthogonal_matrix
+
+    proj = jnp.asarray(gaussian_orthogonal_matrix(m, dh, seed=0)).astype(dtype)
+    P = L * h
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = (jax.random.normal(ks[0], (P, L, dh)) * 0.1).astype(dtype)
+    k = (jax.random.normal(ks[1], (P, L, dh)) * 0.1).astype(dtype)
+    v = jax.random.normal(ks[2], (P, L, dh)).astype(dtype)
+
+    sec = _time(
+        lambda v, q, k: generalized_linear_attention(q, k, v, proj),
+        v, q, k, reps=20, iters=5,
+    )
+    rows = P
+    flops = (
+        2 * rows * L * dh * m * 2
+        + 2 * rows * m * L * dh
+        + 2 * rows * L * m * dh
+        + 2 * rows * L * m
+    )
+    bytes_ = 4 * rows * L * dh * q.dtype.itemsize
+    return dict(sec=sec, flops=flops, bytes=bytes_)
+
+
+def bench_outer_product(L, dtype, N=8, d=32, d_pair=288):
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    x = (jax.random.normal(ks[0], (1, N, L, d)) * 0.1).astype(dtype)
+    w = jax.random.normal(ks[1], (d * d, d_pair)).astype(dtype)
+
+    def opm(x, w):
+        op = jnp.einsum("bniu,bnjv->bijuv", x, x,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        op = op.reshape(1, L, L, d * d)
+        return jnp.sum(jnp.einsum("bijc,cd->bijd", op, w,
+                                  preferred_element_type=jnp.float32))
+
+    sec = _time(opm, x, w)
+    flops = 2 * N * L * L * d * d + 2 * L * L * d * d * d_pair
+    bytes_ = L * L * d * d * x.dtype.itemsize  # the big intermediate
+    return dict(sec=sec, flops=flops, bytes=bytes_)
+
+
+def bench_conv_head(L, dtype, C=288, bins=37):
+    """One dilated ResNet tower step: 3x3 conv at (1, L, L, C)."""
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    x = jax.random.normal(ks[0], (1, L, L, C)).astype(dtype)
+    w = (jax.random.normal(ks[1], (3, 3, C, C)) * 0.02).astype(dtype)
+
+    def conv(x, w):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return jnp.sum(y)
+
+    sec = _time(conv, x, w)
+    flops = 2 * L * L * 9 * C * C
+    bytes_ = (L * L * C * 2) * x.dtype.itemsize + 9 * C * C * x.dtype.itemsize
+    return dict(sec=sec, flops=flops, bytes=bytes_)
+
+
+def bench_se3_block(L, dtype, K=64):
+    """One GSE3Res layer on gathered (L, S) neighborhoods at model dims."""
+    from rosettafold_tpu.models import se3 as jse3
+
+    S = min(K, L) + 16
+    B = 1
+    f_in = jse3.Fiber({0: 64, 1: 3})
+    f_mid = jse3.Fiber(num_degrees=2, num_channels=16)
+    mod = jse3.GSE3Res(f_in, f_mid, edge_dim=64, div=4, n_heads=4)
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    h = {0: jax.random.normal(ks[0], (B, L, 64, 1)),
+         1: jax.random.normal(ks[1], (B, L, 3, 3))}
+    h_src = {0: jax.random.normal(ks[0], (B, L, S, 64, 1)),
+             1: jax.random.normal(ks[1], (B, L, S, 3, 3))}
+    rel = jax.random.normal(ks[2], (B, L, S, 3))
+    edge = jax.random.normal(ks[3], (B, L, S, 64))
+    mask = jnp.ones((B, L, S), bool)
+
+    from rosettafold_tpu.ops import so3
+    basis = so3.equivariant_basis(rel, 1)
+    feat = jnp.concatenate([edge, so3.edge_radii(rel)], axis=-1)
+    params = mod.init(ks[4], h, feat, basis, mask, h_src=h_src)
+
+    def run(params, h0, h1, feat, basis, mask, hs0, hs1):
+        out = mod.apply(params, {0: h0, 1: h1}, feat, basis, mask,
+                        h_src={0: hs0, 1: hs1})
+        return jnp.sum(out[0]) + jnp.sum(out[1])
+
+    def run_chained(h0, params, h1, feat, basis, mask, hs0, hs1):
+        out = mod.apply(params, {0: h0, 1: h1}, feat, basis, mask,
+                        h_src={0: hs0, 1: hs1})
+        return h0 + 1e-6 * jnp.sum(out[0]) + 0 * jnp.sum(out[1])
+
+    sec = _time(run_chained, h[0], params, h[1], feat, basis, mask,
+                h_src[0], h_src[1], iters=5, reps=60)
+    E = B * L * S
+    # dominant: radial MLPs (per edge) + basis contractions
+    radial = 0
+    for (di, mi) in ((0, 64), (1, 3)):
+        for (do, mo) in ((0, 4), (1, 4)):
+            nf = 2 * min(di, do) + 1
+            radial += 2 * E * (65 * 32 + 32 * 32 + 32 * nf * mi * mo) * 2  # v and k
+    flops = radial
+    bytes_ = E * (64 + 3 * 3 + 65) * 4
+    return dict(sec=sec, flops=flops, bytes=bytes_)
+
+
+FAMILIES = {
+    "tied_attention_pallas": bench_tied_attention,
+    "tied_attention_xla": bench_tied_attention_xla,
+    "favor_axial": bench_favor_axial,
+    "favor_axial_pallas": bench_favor_axial_pallas,
+    "outer_product": bench_outer_product,
+    "conv3x3_head": bench_conv_head,
+    "se3_gse3res": bench_se3_block,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--L", type=int, default=1024)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--families", default=",".join(FAMILIES))
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    peak = PEAKS["bf16_flops"] if args.dtype == "bfloat16" else PEAKS["f32_flops"]
+
+    results = {}
+    for name in args.families.split(","):
+        fn = FAMILIES[name]
+        r = fn(args.L, dtype)
+        tflops = r["flops"] / r["sec"] / 1e12
+        intensity = r["flops"] / r["bytes"]
+        ridge = peak / PEAKS["hbm_gbs"]
+        bound = "compute" if intensity >= ridge else "bandwidth"
+        roofline = peak if bound == "compute" else intensity * PEAKS["hbm_gbs"]
+        pct = 100.0 * (r["flops"] / r["sec"]) / roofline
+        results[name] = {
+            "ms": r["sec"] * 1e3,
+            "tflops": round(tflops, 2),
+            "intensity_flop_per_byte": round(intensity, 1),
+            "bound": bound,
+            "roofline_tflops": round(roofline / 1e12, 1),
+            "pct_of_roofline": round(pct, 1),
+        }
+        print(f"{name:24s} {r['sec']*1e3:9.2f} ms  {tflops:8.2f} TFLOP/s "
+              f"({bound}-bound, {pct:5.1f}% of roofline)")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"L": args.L, "dtype": args.dtype, "device":
+                       str(jax.devices()[0]), "results": results}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -155,6 +155,7 @@ class EncoderLayer(nn.Module):
                 p_dropout=self.p_dropout,
                 generalized_attention=self.generalized_attention,
                 feature_seed=self.feature_seed,
+                attn_impl=self.attn_impl,
                 dtype=self.dtype,
                 name="attn",
             )

@@ -140,6 +140,7 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
     p_dropout: float = 0.1
     feature_seed: int = 42
     performer_dim_head: int = 64
+    attn_impl: str = "xla"
     long_chunk: int = None
     dtype: Any = None
 
@@ -153,6 +154,7 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
             generalized_attention=True,
             feature_seed=self.feature_seed,
             chunk_rows=self.long_chunk,
+            attn_impl=self.attn_impl,
             dtype=self.dtype,
             name="row_attn",
         )
@@ -164,6 +166,7 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
             generalized_attention=True,
             feature_seed=self.feature_seed + 1,
             chunk_rows=self.long_chunk,
+            attn_impl=self.attn_impl,
             dtype=self.dtype,
             name="col_attn",
         )
@@ -194,6 +197,7 @@ class PairUpdateWithAxialAttention(nn.Module):
     n_encoder_layers: int = 4
     feature_seed: int = 42
     performer_dim_head: int = 64
+    attn_impl: str = "xla"
     long_chunk: int = None
     dtype: Any = None
 
@@ -207,6 +211,7 @@ class PairUpdateWithAxialAttention(nn.Module):
                 self.p_dropout,
                 feature_seed=self.feature_seed + 2 * i,
                 performer_dim_head=self.performer_dim_head,
+                attn_impl=self.attn_impl,
                 long_chunk=self.long_chunk,
                 dtype=self.dtype,
                 name=f"layer_{i}",

@@ -76,6 +76,7 @@ class TwoTrackBlock(nn.Module):
             n_encoder_layers=self.n_encoder_layers,
             feature_seed=self.feature_seed + 100,
             performer_dim_head=self.performer_dim_head,
+            attn_impl=self.attn_impl,
             long_chunk=self.long_chunk,
             dtype=self.dtype,
             name="pair_update_with_axial_attention",

@@ -82,3 +82,42 @@ def test_soft_tied_attention_pallas_odd_length():
     out_xla = japply(xla_mod, params, x)
     out_pal = japply(pal_mod, params, x)
     np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla), atol=5e-5)
+
+
+def test_generalized_linear_attention_matches_xla():
+    """Fused FAVOR+ kernel vs the einsum implementation (same projection)."""
+    from rosettafold_tpu.ops.pallas.linear_attention import (
+        generalized_linear_attention,
+    )
+    from rosettafold_tpu.ops.performer import favor_attention, gaussian_orthogonal_matrix
+
+    P, L, dh, m = 5, 40, 16, 48
+    proj = jnp.asarray(gaussian_orthogonal_matrix(m, dh, seed=0))
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (P, L, dh))
+    k = jax.random.normal(ks[1], (P, L, dh))
+    v = jax.random.normal(ks[2], (P, L, dh))
+
+    scale = dh**-0.25
+    out = jax.jit(generalized_linear_attention, static_argnums=(4, 5))(
+        q * scale, k * scale, v, proj, 1e-3, 2
+    )
+    ref = jax.jit(
+        lambda q, k, v: favor_attention(q, k, v, proj, generalized=True)
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_performer_module_pallas_matches_xla():
+    from rosettafold_tpu.models.attention import PerformerSelfAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 20, 24))
+    xla_mod = PerformerSelfAttention(dim=24, heads=2, dim_head=16,
+                                     generalized_attention=True, nb_features=32)
+    pal_mod = PerformerSelfAttention(dim=24, heads=2, dim_head=16,
+                                     generalized_attention=True, nb_features=32,
+                                     attn_impl="pallas")
+    params = jinit(xla_mod, jax.random.PRNGKey(1), x)
+    out_xla = japply(xla_mod, params, x)
+    out_pal = japply(pal_mod, params, x)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla), atol=3e-5)

@@ -45,7 +45,11 @@ def main():
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         attn_impl=os.environ.get("BENCH_ATTN", "pallas"),
         se3_impl=os.environ.get("BENCH_SE3", "dense" if L <= 256 else "gather"),
-        long_chunk=None if L <= 384 else 128,
+        long_chunk=(
+            None
+            if L <= 384 or os.environ.get("BENCH_CHUNK") == "0"
+            else int(os.environ.get("BENCH_CHUNK", 128))
+        ),
     )
     model = RoseTTAFold(config=cfg)
 

@@ -146,6 +146,10 @@ class GConvSE3Partial(nn.Module):
     f_in: Fiber
     f_out: Fiber
     edge_dim: int = 0
+    # src_major: edge tensors are keyed (src I, slot S -> dst); src features
+    # are the node features themselves (no gather). Used by the exact scatter
+    # path (se3_impl="scatter").
+    src_major: bool = False
 
     @nn.compact
     def __call__(self, h: Features, edge_feat, basis) -> Features:
@@ -164,7 +168,14 @@ class GConvSE3Partial(nn.Module):
                     name=f"pc_{di}_{do}",
                 )(edge_feat, basis)  # (B,J,S,mo_c,mi_c,nf)
                 B = basis[f"{di},{do}"]  # (B,J,S,2do+1,2di+1,nf)
-                if h[di].ndim == 4:
+                if h[di].ndim == 4 and self.src_major:
+                    # src-major edge layout (B, I, S, ...): src feature is the
+                    # row itself, shared by all S slots
+                    t = jnp.einsum("bismnf,bicn->bmfcis", B, h[di],
+                                   precision=lax.Precision.HIGHEST)
+                    contrib = jnp.einsum("bisocf,bmfcis->bomis", R, t,
+                                         precision=lax.Precision.HIGHEST)
+                elif h[di].ndim == 4:
                     # dense layout: src features (B, I, mi, 2di+1), S == I == L
                     t = jnp.einsum("bjimnf,bicn->bmfcji", B, h[di],
                                    precision=lax.Precision.HIGHEST)
@@ -347,8 +358,13 @@ class GMABSE3(nn.Module):
     n_heads: int
 
     @nn.compact
-    def __call__(self, v: Features, k: Features, q: Features, mask) -> Features:
+    def __call__(self, v: Features, k: Features, q: Features, mask,
+                 dst_idx=None) -> Features:
         # v/k per degree: (B, m, 2d+1, J, S) edge-last; q per degree: (B, J, m, 2d+1).
+        # dst_idx (B, I, S): src-major exact-scatter mode — edge tensors are
+        # keyed (src, slot) and slot s of src i points at dst dst_idx[b,i,s];
+        # softmax and aggregation group by dst via segment ops (the DGL
+        # edge_softmax semantics on the exact reference edge set).
         h = self.n_heads
         k_parts = []
         for d in self.f_key.degrees:
@@ -357,6 +373,9 @@ class GMABSE3(nn.Module):
             k_parts.append(kd)
         kh = jnp.concatenate(k_parts, axis=2)  # (B, h, ck, J, S)
         qh = fiber2head(q, h, self.f_key)  # (B, J, h, ck)
+
+        if dst_idx is not None:
+            return self._scatter_attend(v, kh, qh, mask, dst_idx)
 
         e = jnp.einsum("bhcjs,bjhc->bhjs", kh, qh, precision=lax.Precision.HIGHEST)
         e = e / math.sqrt(self.f_key.n_features)
@@ -371,6 +390,57 @@ class GMABSE3(nn.Module):
             agg = jnp.einsum("bhjs,bhcmjs->bjhcm", att, vd,
                              precision=lax.Precision.HIGHEST)
             out[d] = agg.reshape(*agg.shape[:2], m, 2 * d + 1)
+        return out
+
+    def _scatter_attend(self, v: Features, kh, qh, valid, dst_idx) -> Features:
+        """Exact edge_softmax + sum over the src-major edge list.
+
+        kh (B, h, ck, I, S); qh (B, L, h, ck); dst_idx/valid (B, I, S)."""
+        h = self.n_heads
+        B_, I, S = dst_idx.shape
+        L = qh.shape[1]
+        E = I * S
+        ids_flat = jnp.where(valid, dst_idx, L).reshape(B_, E)  # invalid -> seg L
+
+        # q gathered at each edge's dst
+        q_edge = jax.vmap(lambda qb, ib: qb[ib])(qh, dst_idx)  # (B, I, S, h, ck)
+        e = jnp.einsum("bhcis,bishc->bhis", kh, q_edge,
+                       precision=lax.Precision.HIGHEST)
+        e = e / math.sqrt(self.f_key.n_features)
+        e = jnp.where(valid[:, None], e, -jnp.inf).reshape(B_, h, E)
+
+        # segment max over dst (numerically stable softmax), then exp/sum
+        seg_max = jax.vmap(
+            lambda eb, ib: jax.ops.segment_max(
+                jnp.swapaxes(eb, 0, 1), ib, num_segments=L + 1
+            )
+        )(e, ids_flat)  # (B, L+1, h)
+        seg_max = jnp.nan_to_num(seg_max, neginf=0.0)
+        mx_edge = jax.vmap(lambda mb, ib: mb[ib])(seg_max, ids_flat)  # (B, E, h)
+        z = jnp.exp(e - jnp.swapaxes(mx_edge, 1, 2))  # (B, h, E)
+        z = jnp.where(jnp.isfinite(e), z, 0.0)
+        denom = jax.vmap(
+            lambda zb, ib: jax.ops.segment_sum(
+                jnp.swapaxes(zb, 0, 1), ib, num_segments=L + 1
+            )
+        )(z, ids_flat)  # (B, L+1, h)
+        den_edge = jax.vmap(lambda db, ib: db[ib])(denom, ids_flat)  # (B, E, h)
+        att = z / jnp.maximum(jnp.swapaxes(den_edge, 1, 2), 1e-20)  # (B, h, E)
+
+        out = {}
+        for d in self.f_value.degrees:
+            m = self.f_value.dict[d]
+            vd = v[d].reshape(v[d].shape[0], h, m // h, 2 * d + 1, E)
+            weighted = att[:, :, None, None] * vd  # (B, h, c, 2d+1, E)
+            flat = weighted.reshape(B_, -1, E)  # (B, F, E)
+            agg = jax.vmap(
+                lambda wb, ib: jax.ops.segment_sum(
+                    jnp.swapaxes(wb, 0, 1), ib, num_segments=L + 1
+                )
+            )(flat, ids_flat)[:, :L]  # (B, L, F)
+            out[d] = agg.reshape(B_, L, h, m // h, 2 * d + 1).reshape(
+                B_, L, m, 2 * d + 1
+            )
         return out
 
 
@@ -389,22 +459,28 @@ class GSE3Res(nn.Module):
     selfint: str = "1x1"
 
     @nn.compact
-    def __call__(self, h: Features, edge_feat, basis, mask, h_src: Features = None) -> Features:
+    def __call__(self, h: Features, edge_feat, basis, mask, h_src: Features = None,
+                 dst_idx=None) -> Features:
         f_mid_out = Fiber({d: int(m // self.div) for d, m in self.f_out.dict.items()})
         f_mid_in = Fiber(
             {d: m for d, m in f_mid_out.dict.items() if d in self.f_in.degrees}
         )
 
+        src_major = dst_idx is not None
         src = h_src if h_src is not None else h
-        v = GConvSE3Partial(self.f_in, f_mid_out, self.edge_dim, name="v")(
+        v = GConvSE3Partial(self.f_in, f_mid_out, self.edge_dim,
+                            src_major=src_major, name="v")(
             src, edge_feat, basis
         )
-        k = GConvSE3Partial(self.f_in, f_mid_in, self.edge_dim, name="k")(
+        k = GConvSE3Partial(self.f_in, f_mid_in, self.edge_dim,
+                            src_major=src_major, name="k")(
             src, edge_feat, basis
         )
         q = G1x1SE3(self.f_in, f_mid_in, name="q")(h)
 
-        z = GMABSE3(f_mid_out, f_mid_in, self.n_heads, name="attn")(v, k, q, mask)
+        z = GMABSE3(f_mid_out, f_mid_in, self.n_heads, name="attn")(
+            v, k, q, mask, dst_idx=dst_idx
+        )
 
         if self.skip == "cat":
             # GCat semantics (reference modules.py:903-928): concat only degrees
@@ -463,7 +539,8 @@ class SE3Transformer(nn.Module):
     num_edge_features: int = 32
 
     @nn.compact
-    def __call__(self, h0, h1, edge_feat, rel_pos, mask, src_idx=None) -> Features:
+    def __call__(self, h0, h1, edge_feat, rel_pos, mask, src_idx=None,
+                 dst_idx=None) -> Features:
         f_in = Fiber({0: self.l0_in_features, 1: self.l1_in_features})
         f_mid = Fiber(num_degrees=self.num_degrees, num_channels=self.num_channels)
         if self.l1_out_features > 0:
@@ -495,7 +572,7 @@ class SE3Transformer(nn.Module):
                 skip="cat",
                 selfint=self.si_m,
                 name=f"res_{i}",
-            )(h, feat, basis, mask, h_src=gather_src(h))
+            )(h, feat, basis, mask, h_src=gather_src(h), dst_idx=dst_idx)
             h = GNormBias(f_mid, name=f"norm_{i}")(h)
             fin = f_mid
         h = GSE3Res(
@@ -507,7 +584,7 @@ class SE3Transformer(nn.Module):
             skip="cat",
             selfint=self.si_e,
             name="res_out",
-        )(h, feat, basis, mask, h_src=gather_src(h))
+        )(h, feat, basis, mask, h_src=gather_src(h), dst_idx=dst_idx)
         return h
 
 

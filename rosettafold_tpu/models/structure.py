@@ -153,8 +153,11 @@ class CoordUpdateWithMsaAndPair(nn.Module):
     d_state: int = 32
     n_neighbors: int = 64
     p_dropout: float = 0.1
-    # "dense": exact reverse-topk incoming sets on an (L, L) mask (parity path).
-    # "gather": (L, S) gathered neighborhoods, O(L*S) memory for long sequences.
+    # "dense": exact incoming sets on an (L, L) mask (parity path, O(L^2)).
+    # "scatter": EXACT src-major edge list with segment-op aggregation,
+    #            O(L*S) memory - the exact long-sequence path.
+    # "gather": (L, S) forward-topk approximation (fastest long-seq path;
+    #           divergence from the exact rule quantified in tests/test_se3.py).
     se3_impl: str = "dense"
     # False = reference-exact compat (self edges kept when top-k spans all nodes,
     # rosettafold_pytorch.py:844-847); True = the repo's equivariance-safe default.
@@ -177,8 +180,16 @@ class CoordUpdateWithMsaAndPair(nn.Module):
         edge = nn.LayerNorm(epsilon=1e-5, name="edge_ln")(nn.elu(edge))  # (B,i,j,de)
 
         ca = xyz[:, :, CA_IDX]
-        src_idx = None
-        if self.se3_impl == "gather":
+        src_idx = dst_idx = None
+        if self.se3_impl == "scatter":
+            # EXACT src-major edge list: slot s of src i points at dst
+            # idx[b,i,s] = the reference edge rule topk(i) + band (:844-852),
+            # O(L*S) memory; aggregation at dst via segment ops.
+            dst_idx, mask = knn.knn_gather_indices(xyz, aa_idx, self.n_neighbors)
+            ca_dst = jax.vmap(lambda c, i: c[i])(ca, dst_idx)  # (B, I, S, 3)
+            rel_pos = ca_dst - ca[:, :, None, :]  # dst - src
+            edge_w = jnp.take_along_axis(edge, dst_idx[..., None], axis=2)
+        elif self.se3_impl == "gather":
             # (B, L, S) gathered neighborhoods: O(L*S) edge tensors.
             src_idx, mask = knn.knn_gather_indices(xyz, aa_idx, self.n_neighbors)
             ca_src = jax.vmap(lambda c, i: c[i])(ca, src_idx)  # (B, L, S, 3)
@@ -211,7 +222,7 @@ class CoordUpdateWithMsaAndPair(nn.Module):
             l1_out_features=3,
             num_edge_features=self.d_edge,
             name="se3",
-        )(h0, h1, edge_w, rel_pos, mask, src_idx=src_idx)
+        )(h0, h1, edge_w, rel_pos, mask, src_idx=src_idx, dst_idx=dst_idx)
 
         state = out[0][..., 0]  # (B, L, d_state)
         disp = out[1]  # (B, L, 3, 3)

@@ -71,6 +71,10 @@ class RoseTTAFoldConfig:
     # Rematerialize the two-/three-track blocks on the backward pass (trades
     # ~cbrt memory for recompute; enable for long-sequence / large-batch training).
     remat: bool = False
+    # Shard the (B, L, L, d) pair tensor's first L axis over the mesh's 'sp'
+    # axis at block boundaries (long-context sequence parallelism; no-op
+    # without a mesh). parallel/mesh.shard_pair_constraint.
+    shard_pair: bool = False
     # Trunk compute dtype: "float32" (exact-parity default) or "bfloat16"
     # (MXU-native; softmax/LayerNorm/InstanceNorm statistics and the entire
     # SE(3) equivariant stack stay float32).

@@ -74,13 +74,17 @@ class PerformerSelfAttention(nn.Module):
             return jnp.moveaxis(t, -2, -3)
 
         # The fused kernel wins when the XLA path's (rows, L, m) feature maps
-        # are large enough to be bandwidth-bound (L >= 256 at model shapes:
-        # 74 ms -> 29 ms per axial call at L=1024 on v5e). At small L the
-        # einsum path is faster (grid overhead dominates the kernel).
+        # are large enough to be bandwidth-bound (standalone: 74 ms -> 29 ms
+        # per axial call at L=1024 on v5e). In-context XLA recovers some of
+        # that via cross-op fusion, so the crossover is tunable:
+        # RFTPU_FUSED_FAVOR_MIN_L (default 256).
+        import os
+
+        min_l = int(os.environ.get("RFTPU_FUSED_FAVOR_MIN_L", "256"))
         use_fused = (
             self.attn_impl == "pallas"
             and self.generalized_attention
-            and x.shape[-2] >= 256
+            and x.shape[-2] >= min_l
         )
 
         def block(xc):

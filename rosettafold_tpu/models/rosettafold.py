@@ -244,6 +244,13 @@ class RoseTTAFold(nn.Module):
             init_cls = InitialCoordGenerationWithMsaAndPair
             head_cls = PredictionHead
 
+        def shard_pair(p):
+            if not cfg.shard_pair:
+                return p
+            from ..parallel.mesh import shard_pair_constraint
+
+            return shard_pair_constraint(p)
+
         msa_emb = MsaEmbedding(
             d_input=cfg.d_input,
             d_msa=cfg.d_msa,
@@ -263,6 +270,7 @@ class RoseTTAFold(nn.Module):
         )(seq, aa_idx, template, deterministic=deterministic)
 
         seq_onehot = jax.nn.one_hot(seq, cfg.d_input, dtype=msa_emb.dtype)
+        pair = shard_pair(pair)
 
         x = msa_emb
         for i in range(cfg.n_two_track_blocks):
@@ -278,6 +286,7 @@ class RoseTTAFold(nn.Module):
                 dtype=dtype,
                 name=f"two_track_{i}",
             )(x, pair, deterministic)
+            pair = shard_pair(pair)
 
         xyz = init_cls(
             d_msa=cfg.d_msa,
@@ -310,6 +319,7 @@ class RoseTTAFold(nn.Module):
                 dtype=dtype,
                 name=f"three_track_{i}",
             )(x, pair, xyz, seq_onehot, aa_idx, deterministic)
+            pair = shard_pair(pair)
 
         x, pair, xyz, plddt = final_cls(
             cfg.d_msa,

@@ -47,6 +47,22 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def shard_pair_constraint(pair):
+    """Constrain a (B, L, L, d) pair tensor to shard batch over 'dp' and the
+    FIRST L axis over 'sp' — the long-context lever: the pair track is the
+    memory hog (B*L^2*d floats), and axial col-attention/outer-product/conv all
+    partition cleanly over the i axis (XLA inserts halo exchanges for the 3x3
+    convs and all-gathers for row attention over ICI).
+
+    No-op outside a mesh or on meshes without an 'sp' axis, so the model code
+    can call it unconditionally.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh.empty or "sp" not in mesh.axis_names:
+        return pair
+    return jax.lax.with_sharding_constraint(pair, P("dp", "sp", None, None))
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Device-put a host batch dict onto the mesh with the canonical layout."""
     sh = batch_shardings(mesh)

@@ -50,6 +50,7 @@ def main():
             if L <= 384 or os.environ.get("BENCH_CHUNK") == "0"
             else int(os.environ.get("BENCH_CHUNK", 128))
         ),
+        scan_blocks=os.environ.get("BENCH_SCAN", "0") == "1",
     )
     model = RoseTTAFold(config=cfg)
 

@@ -75,6 +75,12 @@ class RoseTTAFoldConfig:
     # axis at block boundaries (long-context sequence parallelism; no-op
     # without a mesh). parallel/mesh.shard_pair_constraint.
     shard_pair: bool = False
+    # nn.scan over the repeated two-/three-track blocks: ONE trace for all
+    # blocks (compile time /~n_blocks), stacked params. Perf/training mode —
+    # params are NOT name-compatible with torch_import, FAVOR+ projections are
+    # shared across scanned blocks, and per-block n_neighbors becomes a
+    # scanned top-k mask at the static max K.
+    scan_blocks: bool = False
     # Trunk compute dtype: "float32" (exact-parity default) or "bfloat16"
     # (MXU-native; softmax/LayerNorm/InstanceNorm statistics and the entire
     # SE(3) equivariant stack stay float32).

@@ -73,14 +73,16 @@ class PerformerSelfAttention(nn.Module):
             t = t.reshape(*t.shape[:-1], self.heads, self.dim_head)
             return jnp.moveaxis(t, -2, -3)
 
-        # The fused kernel wins when the XLA path's (rows, L, m) feature maps
-        # are large enough to be bandwidth-bound (standalone: 74 ms -> 29 ms
-        # per axial call at L=1024 on v5e). In-context XLA recovers some of
-        # that via cross-op fusion, so the crossover is tunable:
-        # RFTPU_FUSED_FAVOR_MIN_L (default 256).
+        # The fused kernel eliminates the XLA path's (rows, L, m) HBM feature
+        # maps (standalone: 74 ms -> 29 ms per call at L=1024 on v5e), but
+        # in-context XLA recovers the difference through cross-op fusion —
+        # measured e2e: XLA wins ~6% at L=1024 (191.5k vs 180k pairs/s) and
+        # ~20% at L=512. At L >= 2048 the XLA maps alone exceed HBM (~21 GB),
+        # so the kernel is the only feasible path; that is the default
+        # crossover. Tune with RFTPU_FUSED_FAVOR_MIN_L.
         import os
 
-        min_l = int(os.environ.get("RFTPU_FUSED_FAVOR_MIN_L", "256"))
+        min_l = int(os.environ.get("RFTPU_FUSED_FAVOR_MIN_L", "2048"))
         use_fused = (
             self.attn_impl == "pallas"
             and self.generalized_attention

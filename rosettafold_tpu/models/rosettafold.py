@@ -114,7 +114,8 @@ class ThreeTrackBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, msa, pair, xyz, seq_onehot, aa_idx, deterministic: bool = True):
+    def __call__(self, msa, pair, xyz, seq_onehot, aa_idx, deterministic: bool = True,
+                 k_dynamic=None):
         msa, pair = TwoTrackBlock(
             self.d_msa,
             self.d_pair,
@@ -139,7 +140,8 @@ class ThreeTrackBlock(nn.Module):
             se3_impl=self.se3_impl,
             knn_exclude_self=self.knn_exclude_self,
             name="coord_update_with_msa_and_pair",
-        )(xyz, msa, pair, aa_idx, seq_onehot, deterministic=deterministic)
+        )(xyz, msa, pair, aa_idx, seq_onehot, deterministic=deterministic,
+          k_dynamic=k_dynamic)
 
         msa = MsaUpdateWithPairAndCoord(
             d_msa=self.d_msa,
@@ -205,6 +207,96 @@ class FinalBlock(nn.Module):
 
         plddt = nn.Dense(1, name="plddt_head")(state)[..., 0]  # (B, L)
         return msa, pair, xyz, plddt
+
+
+class _ScannedTwoTrack(nn.Module):
+    """nn.scan body for the two-track stack (scan_blocks=True): one trace for
+    all blocks, stacked params. Performer feature projections are shared
+    across scanned blocks (documented divergence from the per-block seeds of
+    the unscanned path — scan mode is a compile-time/perf mode, the unscanned
+    path is the parity mode)."""
+
+    d_msa: int
+    d_pair: int
+    n_encoder_layers: int
+    p_dropout: float
+    performer_dim_head: int
+    attn_impl: str
+    long_chunk: Any
+    dtype: Any
+    deterministic: bool
+    shard_pair_flag: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        msa, pair = carry
+        msa, pair = TwoTrackBlock(
+            self.d_msa,
+            self.d_pair,
+            self.n_encoder_layers,
+            self.p_dropout,
+            feature_seed=42,
+            performer_dim_head=self.performer_dim_head,
+            attn_impl=self.attn_impl,
+            long_chunk=self.long_chunk,
+            dtype=self.dtype,
+            name="block",
+        )(msa, pair, self.deterministic)
+        if self.shard_pair_flag:
+            from ..parallel.mesh import shard_pair_constraint
+
+            pair = shard_pair_constraint(pair)
+        return (msa, pair), None
+
+
+class _ScannedThreeTrack(nn.Module):
+    """nn.scan body for the three-track stack; the per-block neighbor budget
+    arrives as the scanned input k (top-k computed at the static max K and
+    masked down per block)."""
+
+    d_msa: int
+    d_pair: int
+    d_node: int
+    d_edge: int
+    d_state: int
+    n_encoder_layers: int
+    n_neighbors_max: int
+    p_dropout: float
+    performer_dim_head: int
+    attn_impl: str
+    se3_impl: str
+    knn_exclude_self: bool
+    long_chunk: Any
+    dtype: Any
+    deterministic: bool
+    shard_pair_flag: bool
+
+    @nn.compact
+    def __call__(self, carry, k, seq_onehot, aa_idx):
+        msa, pair, xyz = carry
+        msa, pair, xyz = ThreeTrackBlock(
+            self.d_msa,
+            self.d_pair,
+            self.d_node,
+            self.d_edge,
+            self.d_state,
+            self.n_encoder_layers,
+            n_neighbors=self.n_neighbors_max,
+            p_dropout=self.p_dropout,
+            feature_seed=1042,
+            performer_dim_head=self.performer_dim_head,
+            attn_impl=self.attn_impl,
+            se3_impl=self.se3_impl,
+            knn_exclude_self=self.knn_exclude_self,
+            long_chunk=self.long_chunk,
+            dtype=self.dtype,
+            name="block",
+        )(msa, pair, xyz, seq_onehot, aa_idx, self.deterministic, k_dynamic=k)
+        if self.shard_pair_flag:
+            from ..parallel.mesh import shard_pair_constraint
+
+            pair = shard_pair_constraint(pair)
+        return (msa, pair, xyz), None
 
 
 class RoseTTAFold(nn.Module):
@@ -273,20 +365,44 @@ class RoseTTAFold(nn.Module):
         pair = shard_pair(pair)
 
         x = msa_emb
-        for i in range(cfg.n_two_track_blocks):
-            x, pair = two_track_cls(
+        if cfg.scan_blocks:
+            body = _ScannedTwoTrack
+            if cfg.remat:
+                body = nn.remat(body)
+            scan_tt = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=cfg.n_two_track_blocks,
+            )(
                 cfg.d_msa,
                 cfg.d_pair,
                 cfg.n_encoder_layers,
                 cfg.p_dropout,
-                feature_seed=42 + 1000 * i,
-                performer_dim_head=cfg.performer.dim_head,
-                attn_impl=cfg.attn_impl,
-                long_chunk=cfg.long_chunk,
-                dtype=dtype,
-                name=f"two_track_{i}",
-            )(x, pair, deterministic)
-            pair = shard_pair(pair)
+                cfg.performer.dim_head,
+                cfg.attn_impl,
+                cfg.long_chunk,
+                dtype,
+                deterministic,
+                cfg.shard_pair,
+                name="two_track_scan",
+            )
+            (x, pair), _ = scan_tt((x, pair), None)
+        else:
+            for i in range(cfg.n_two_track_blocks):
+                x, pair = two_track_cls(
+                    cfg.d_msa,
+                    cfg.d_pair,
+                    cfg.n_encoder_layers,
+                    cfg.p_dropout,
+                    feature_seed=42 + 1000 * i,
+                    performer_dim_head=cfg.performer.dim_head,
+                    attn_impl=cfg.attn_impl,
+                    long_chunk=cfg.long_chunk,
+                    dtype=dtype,
+                    name=f"two_track_{i}",
+                )(x, pair, deterministic)
+                pair = shard_pair(pair)
 
         xyz = init_cls(
             d_msa=cfg.d_msa,
@@ -300,26 +416,59 @@ class RoseTTAFold(nn.Module):
             name="initial_coords",
         )(x, pair, seq_onehot, aa_idx, deterministic)
 
-        for i in range(cfg.n_three_track_blocks - 1):
-            x, pair, xyz = three_track_cls(
+        n_tt = cfg.n_three_track_blocks - 1
+        if cfg.scan_blocks and n_tt > 0:
+            ks = jnp.asarray([cfg.n_neighbors[i] for i in range(n_tt)], jnp.int32)
+            body3 = _ScannedThreeTrack
+            if cfg.remat:
+                body3 = nn.remat(body3)
+            scan_3t = nn.scan(
+                body3,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0, nn.broadcast, nn.broadcast),
+                length=n_tt,
+            )(
                 cfg.d_msa,
                 cfg.d_pair,
                 cfg.d_node,
                 cfg.d_edge,
                 cfg.d_state,
                 cfg.n_encoder_layers,
-                n_neighbors=cfg.n_neighbors[i],
-                p_dropout=cfg.p_dropout,
-                feature_seed=42 + 1000 * (cfg.n_two_track_blocks + i),
-                performer_dim_head=cfg.performer.dim_head,
-                attn_impl=cfg.attn_impl,
-                se3_impl=cfg.se3_impl,
-                knn_exclude_self=cfg.knn_exclude_self,
-                long_chunk=cfg.long_chunk,
-                dtype=dtype,
-                name=f"three_track_{i}",
-            )(x, pair, xyz, seq_onehot, aa_idx, deterministic)
-            pair = shard_pair(pair)
+                max(cfg.n_neighbors[:n_tt]),
+                cfg.p_dropout,
+                cfg.performer.dim_head,
+                cfg.attn_impl,
+                cfg.se3_impl,
+                cfg.knn_exclude_self,
+                cfg.long_chunk,
+                dtype,
+                deterministic,
+                cfg.shard_pair,
+                name="three_track_scan",
+            )
+            (x, pair, xyz), _ = scan_3t((x, pair, xyz), ks, seq_onehot, aa_idx)
+        else:
+            for i in range(n_tt):
+                x, pair, xyz = three_track_cls(
+                    cfg.d_msa,
+                    cfg.d_pair,
+                    cfg.d_node,
+                    cfg.d_edge,
+                    cfg.d_state,
+                    cfg.n_encoder_layers,
+                    n_neighbors=cfg.n_neighbors[i],
+                    p_dropout=cfg.p_dropout,
+                    feature_seed=42 + 1000 * (cfg.n_two_track_blocks + i),
+                    performer_dim_head=cfg.performer.dim_head,
+                    attn_impl=cfg.attn_impl,
+                    se3_impl=cfg.se3_impl,
+                    knn_exclude_self=cfg.knn_exclude_self,
+                    long_chunk=cfg.long_chunk,
+                    dtype=dtype,
+                    name=f"three_track_{i}",
+                )(x, pair, xyz, seq_onehot, aa_idx, deterministic)
+                pair = shard_pair(pair)
 
         x, pair, xyz, plddt = final_cls(
             cfg.d_msa,

@@ -164,7 +164,8 @@ class CoordUpdateWithMsaAndPair(nn.Module):
     knn_exclude_self: bool = True
 
     @nn.compact
-    def __call__(self, xyz, msa, pair, aa_idx, seq_onehot, *, deterministic: bool = True):
+    def __call__(self, xyz, msa, pair, aa_idx, seq_onehot, *,
+                 deterministic: bool = True, k_dynamic=None):
         msa = nn.LayerNorm(epsilon=1e-5, name="ln_msa")(msa)
         pair = nn.LayerNorm(epsilon=1e-5, name="ln_pair")(pair)
 
@@ -185,13 +186,17 @@ class CoordUpdateWithMsaAndPair(nn.Module):
             # EXACT src-major edge list: slot s of src i points at dst
             # idx[b,i,s] = the reference edge rule topk(i) + band (:844-852),
             # O(L*S) memory; aggregation at dst via segment ops.
-            dst_idx, mask = knn.knn_gather_indices(xyz, aa_idx, self.n_neighbors)
+            dst_idx, mask = knn.knn_gather_indices(
+                xyz, aa_idx, self.n_neighbors, k_dynamic=k_dynamic
+            )
             ca_dst = jax.vmap(lambda c, i: c[i])(ca, dst_idx)  # (B, I, S, 3)
             rel_pos = ca_dst - ca[:, :, None, :]  # dst - src
             edge_w = jnp.take_along_axis(edge, dst_idx[..., None], axis=2)
         elif self.se3_impl == "gather":
             # (B, L, S) gathered neighborhoods: O(L*S) edge tensors.
-            src_idx, mask = knn.knn_gather_indices(xyz, aa_idx, self.n_neighbors)
+            src_idx, mask = knn.knn_gather_indices(
+                xyz, aa_idx, self.n_neighbors, k_dynamic=k_dynamic
+            )
             ca_src = jax.vmap(lambda c, i: c[i])(ca, src_idx)  # (B, L, S, 3)
             rel_pos = ca[:, :, None, :] - ca_src
             # w[b, j, s] = edge[b, src_idx[b,j,s], j] (edge is src-major (i, j))
@@ -202,7 +207,8 @@ class CoordUpdateWithMsaAndPair(nn.Module):
         else:
             # Static dense kNN mask; dst-major (L, L) layouts (exact parity).
             cond = knn.knn_adjacency(
-                xyz, aa_idx, self.n_neighbors, exclude_self=self.knn_exclude_self
+                xyz, aa_idx, self.n_neighbors, exclude_self=self.knn_exclude_self,
+                k_dynamic=k_dynamic,
             )  # (B, i, j)
             mask = knn.incoming_mask(cond)  # (B, j, i)
             rel_pos = ca[:, :, None, :] - ca[:, None, :, :]  # [b,j,i] = x_j - x_i

@@ -27,6 +27,7 @@ def knn_adjacency(
     kmin: int = 9,
     ca_index: int = 1,
     exclude_self: bool = True,
+    k_dynamic=None,
 ) -> jnp.ndarray:
     """Boolean adjacency cond[b, i, j]: edge i -> j exists iff j is among the
     n_neighbors nearest CAs of i, OR |aa_i - aa_j| < kmin (self excluded from
@@ -49,7 +50,14 @@ def knn_adjacency(
     adj = jnp.zeros((B, L, L), dtype=bool)
     b_ix = jnp.arange(B)[:, None, None]
     i_ix = jnp.arange(L)[None, :, None]
-    adj = adj.at[b_ix, i_ix, nbr_idx].set(True)
+    if k_dynamic is None:
+        adj = adj.at[b_ix, i_ix, nbr_idx].set(True)
+    else:
+        # scanned-blocks mode: n_neighbors is the static max; the per-block
+        # budget arrives as a traced scalar — only the first k_dynamic
+        # (closest) top-k slots become edges
+        slot_ok = jnp.arange(k) < jnp.minimum(k_dynamic, L)
+        adj = adj.at[b_ix, i_ix, nbr_idx].max(slot_ok[None, None, :])
 
     cond = jnp.logical_or(adj, sep < kmin)
     if not exclude_self:
@@ -77,6 +85,7 @@ def knn_gather_indices(
     n_neighbors: int,
     kmin: int = 9,
     ca_index: int = 1,
+    k_dynamic=None,
 ):
     """(B, L, S) neighbor indices + validity mask for the gather SE(3) path.
 
@@ -101,6 +110,10 @@ def knn_gather_indices(
     # Self edges are always excluded (see knn_adjacency: the reference keeps
     # them when K >= L, which breaks equivariance; we diverge deliberately).
     topk_valid = topk_idx != jnp.arange(L)[None, :, None]
+    if k_dynamic is not None:
+        topk_valid = topk_valid & (
+            jnp.arange(k)[None, None, :] < jnp.minimum(k_dynamic, L)
+        )
 
     # Sequence band: offsets -(kmin-1)..-1, 1..kmin-1 relative to aa_idx order.
     # (aa_idx is the residue numbering; band membership is |aa_i - aa_j| < kmin.

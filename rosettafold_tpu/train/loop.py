@@ -34,6 +34,8 @@ def fit(
     log_every: int = 50,
     n_devices: Optional[int] = None,
     sp: int = 1,
+    accum_steps: int = 1,
+    moment_dtype: str = "float32",
     log_fn=print,
 ) -> TrainState:
     """Run `steps` optimizer updates; returns the final TrainState."""
@@ -46,7 +48,9 @@ def fit(
 
     with jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext():
         batch = to_model_batch(next(data))
-        state = create_train_state(config, rng, batch, learning_rate)
+        state = create_train_state(config, rng, batch, learning_rate,
+                                   accum_steps=accum_steps,
+                                   moment_dtype=moment_dtype)
         start_step = 0
         if ckpt_dir and os.path.exists(os.path.join(ckpt_dir, "latest")):
             state = ckpt.restore(os.path.join(ckpt_dir, "latest"), target=state)

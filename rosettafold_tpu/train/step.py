@@ -32,15 +32,24 @@ def create_train_state(
     learning_rate: float = 1e-3,
     weight_decay: float = 1e-4,
     grad_clip: float = 1.0,
+    accum_steps: int = 1,
+    moment_dtype: str = "float32",
 ) -> TrainState:
+    """accum_steps > 1: optax.MultiSteps gradient accumulation (an effective
+    batch of accum_steps microbatches per optimizer update — the single-chip
+    answer to config-5's bsz=4 when B=4 exceeds HBM). moment_dtype="bfloat16"
+    halves the Adam first-moment memory (mu_dtype)."""
     model = RoseTTAFold(config=config)
     params = jax.jit(model.init)(
         rng, sample_batch["msa"], sample_batch["seq"], sample_batch["aa_idx"]
     )["params"]
+    mu_dtype = jnp.bfloat16 if moment_dtype == "bfloat16" else None
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
-        optax.adamw(learning_rate, weight_decay=weight_decay),
+        optax.adamw(learning_rate, weight_decay=weight_decay, mu_dtype=mu_dtype),
     )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 

@@ -130,3 +130,46 @@ def test_rosettafold_bfloat16_close_to_float32():
     # loose agreement: bf16 rounding compounds over ~30 layers
     corr = jnp.corrcoef(x32.ravel(), x16.ravel())[0, 1]
     assert corr > 0.98, float(corr)
+
+
+def test_scan_blocks_mode():
+    """scan_blocks=True: one trace for all repeated blocks (stacked params),
+    per-block n_neighbors via the scanned top-k mask. Perf/training mode —
+    not name-compatible with torch_import (documented in config.py)."""
+    import numpy as np
+
+    from rosettafold_tpu.config import tiny_config
+    from rosettafold_tpu.models.rosettafold import RoseTTAFold
+
+    cfg = tiny_config(
+        scan_blocks=True, n_two_track_blocks=2, n_three_track_blocks=3,
+        n_neighbors=(8, 6, 6), p_dropout=0.0,
+    )
+    m = RoseTTAFold(config=cfg)
+    msa = jnp.asarray(np.random.default_rng(0).integers(0, 21, (1, 2, 12)))
+    aa = jnp.arange(12)[None]
+    p = m.init(jax.random.PRNGKey(0), msa, msa[:, 0], aa)
+    # stacked params: leading axis = n_blocks
+    leaf = jax.tree.leaves(p["params"]["two_track_scan"])[0]
+    assert leaf.shape[0] == 2, leaf.shape
+    leaf3 = jax.tree.leaves(p["params"]["three_track_scan"])[0]
+    assert leaf3.shape[0] == 2, leaf3.shape  # n_three_track_blocks - 1
+    logits, xyz, plddt = jax.jit(m.apply)(p, msa, msa[:, 0], aa)
+    assert xyz.shape == (1, 12, 3, 3) and plddt.shape == (1, 12)
+    assert all(bool(jnp.isfinite(v).all()) for v in
+               [xyz, plddt] + list(logits.values()))
+
+
+def test_dynamic_k_matches_static():
+    """k_dynamic top-k masking == a static smaller K (scan-mode correctness)."""
+    import numpy as np
+
+    from rosettafold_tpu.ops import knn
+
+    rng = np.random.default_rng(3)
+    xyz = jnp.asarray(rng.normal(size=(2, 24, 3, 3)) * 4.0, jnp.float32)
+    aa = jnp.tile(jnp.arange(24)[None], (2, 1))
+    for k_small, k_max in [(6, 16), (4, 24), (16, 16)]:
+        a = knn.knn_adjacency(xyz, aa, k_small)
+        b = knn.knn_adjacency(xyz, aa, k_max, k_dynamic=jnp.asarray(k_small))
+        assert bool((a == b).all()), (k_small, k_max)

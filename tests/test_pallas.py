@@ -108,9 +108,11 @@ def test_generalized_linear_attention_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
-def test_performer_module_pallas_matches_xla():
+def test_performer_module_pallas_matches_xla(monkeypatch):
     from rosettafold_tpu.models.attention import PerformerSelfAttention
 
+    # force the fused path at test-sized L (default crossover is L>=2048)
+    monkeypatch.setenv("RFTPU_FUSED_FAVOR_MIN_L", "1")
     x = jax.random.normal(jax.random.PRNGKey(0), (3, 20, 24))
     xla_mod = PerformerSelfAttention(dim=24, heads=2, dim_head=16,
                                      generalized_attention=True, nb_features=32)

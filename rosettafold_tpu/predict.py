@@ -31,13 +31,27 @@ def predict(
     n_seq: int = 64,
     crop: int = None,
     config: RoseTTAFoldConfig = None,
+    preset: str = "exact",
 ):
-    """Run the full pipeline; returns (logits dict, xyz, plddt, inputs)."""
+    """Run the full pipeline; returns (logits dict, xyz, plddt, inputs).
+
+    preset "exact": float32/XLA (reference-parity numerics).
+    preset "fast": bfloat16 trunk + Pallas tied attention + scanned blocks
+    (the TPU serving configuration; BENCHMARKS.md).
+    """
     tokens = load_a3m(a3m_path)
     msa, seq, aa_idx = msa_features(tokens, n_seq=n_seq, crop_len=crop)
     L = msa.shape[-1]
 
-    cfg = config or RoseTTAFoldConfig(max_len=max(260, L))
+    if config is not None:
+        cfg = config
+    elif preset == "fast":
+        cfg = RoseTTAFoldConfig(
+            max_len=max(260, L), compute_dtype="bfloat16", attn_impl="pallas",
+            scan_blocks=True, se3_impl="dense" if L <= 384 else "scatter",
+        )
+    else:
+        cfg = RoseTTAFoldConfig(max_len=max(260, L))
     model = RoseTTAFold(config=cfg)
 
     msa_j, seq_j, aa_j = jnp.asarray(msa), jnp.asarray(seq), jnp.asarray(aa_idx)
@@ -50,8 +64,15 @@ def predict(
     else:
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), msa_j, seq_j, aa_j)
 
-    logits, xyz, plddt = jax.jit(model.apply)(variables, msa_j, seq_j, aa_j)
-    return logits, xyz, plddt, (msa, seq, aa_idx)
+    fwd = jax.jit(model.apply)
+    logits, xyz, plddt = fwd(variables, msa_j, seq_j, aa_j)
+    _ = float(jnp.sum(plddt))  # dispatch is async: sync compile+first execute
+    # compiled-forward latency (checksum-synced; see bench.py timing note)
+    t0 = time.perf_counter()
+    logits, xyz, plddt = fwd(variables, msa_j, seq_j, aa_j)
+    _ = float(jnp.sum(plddt))
+    fwd_s = time.perf_counter() - t0
+    return logits, xyz, plddt, (msa, seq, aa_idx), fwd_s
 
 
 def main(argv=None):
@@ -62,11 +83,12 @@ def main(argv=None):
     p.add_argument("--params", default=None, help="checkpoint dir (else random init)")
     p.add_argument("--n-seq", type=int, default=64)
     p.add_argument("--crop", type=int, default=None)
+    p.add_argument("--preset", default="exact", choices=["exact", "fast"])
     args = p.parse_args(argv)
 
     t0 = time.perf_counter()
-    logits, xyz, plddt, (msa, seq, aa_idx) = predict(
-        args.a3m, args.params, args.n_seq, args.crop
+    logits, xyz, plddt, (msa, seq, aa_idx), fwd_s = predict(
+        args.a3m, args.params, args.n_seq, args.crop, preset=args.preset
     )
     elapsed = time.perf_counter() - t0
 
@@ -84,6 +106,7 @@ def main(argv=None):
                 "L": int(msa.shape[2]),
                 "mean_plddt": float(plddt01.mean()),
                 "elapsed_s": round(elapsed, 2),
+                "forward_s": round(fwd_s, 3),
                 "out": args.out,
             }
         )

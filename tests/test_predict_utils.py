@@ -41,7 +41,7 @@ def test_predict_pipeline_tiny(a3m_file, tmp_path):
     import jax
     import jax.numpy as jnp
 
-    logits, xyz, plddt, (msa, seq, aa_idx) = predict(
+    logits, xyz, plddt, (msa, seq, aa_idx), fwd_s = predict(
         a3m_file, n_seq=4, config=_tiny_cfg(24)
     )
     L = msa.shape[2]

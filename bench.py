@@ -61,18 +61,32 @@ def main():
 
     params = jax.jit(model.init)(rng, msa, seq, aa_idx)
 
+    # The tunnel costs ~30 ms per host-fetch (BENCHMARKS.md), so chain REPS
+    # full forwards per fetched checksum, with a data dependency between reps
+    # (aa_idx perturbed by a runtime-zero derived from the previous checksum)
+    # so XLA cannot CSE or reorder them. Each rep is a complete forward.
+    REPS = int(os.environ.get("BENCH_REPS", 4))
+
     @jax.jit
     def fwd(params, msa, seq, aa_idx):
-        logits, xyz, plddt = model.apply(params, msa, seq, aa_idx)
-        # scalar checksum forces full materialization when fetched to host
-        return plddt.sum() + xyz.sum() + logits["dist"].sum()
+        def body(_, carry):
+            s, aa = carry
+            zero = jnp.where(jnp.isnan(s), 1, 0).astype(aa.dtype)
+            logits, xyz, plddt = model.apply(params, msa, seq, aa + zero)
+            # scalar checksum forces full materialization when fetched
+            s = plddt.sum() + xyz.sum() + logits["dist"].sum()
+            return s, aa
+        s, _ = jax.lax.fori_loop(
+            0, REPS, body, (jnp.float32(0.0), aa_idx)
+        )
+        return s
 
     for _ in range(WARMUP):
         float(fwd(params, msa, seq, aa_idx))
     t0 = time.perf_counter()
     for _ in range(ITERS):
         float(fwd(params, msa, seq, aa_idx))
-    latency = (time.perf_counter() - t0) / ITERS
+    latency = (time.perf_counter() - t0) / (ITERS * REPS)
 
     pairs_per_sec = B * L * L / latency
 

@@ -150,24 +150,38 @@ class GConvSE3Partial(nn.Module):
     # are the node features themselves (no gather). Used by the exact scatter
     # path (se3_impl="scatter").
     src_major: bool = False
+    # Relative-position injection (reference modules.py:583-639): 'cat' appends
+    # x_dst - x_src as an extra degree-1 input channel; 'add' adds it to the
+    # first degree-1 channel (only when multiplicity > 1). Unused by the model
+    # (x_ij=None at every call site) but part of the public surface.
+    x_ij: str = None
 
     @nn.compact
-    def __call__(self, h: Features, edge_feat, basis) -> Features:
+    def __call__(self, h: Features, edge_feat, basis, rel_pos=None) -> Features:
+        assert self.x_ij in (None, "cat", "add")
+        if self.x_ij is not None:
+            assert rel_pos is not None, "x_ij modes need rel_pos (dst - src)"
         out = {}
         for do in self.f_out.degrees:
             mo = self.f_out.dict[do]
             msg = None
             for di in self.f_in.degrees:
                 mi = self.f_in.dict[di]
+                mi_k = mi + 1 if (self.x_ij == "cat" and di == 1) else mi
                 # Fused form of PairwiseConv + message: never materializes the
                 # per-edge (mo, 2do+1, mi, 2di+1) kernel tensor; XLA contracts
                 # src x basis first (cheap) then radial weights. Intermediate
                 # and output layouts keep (J, S) as the trailing axes.
                 R = PairwiseConv(
-                    di, mi, do, mo, self.edge_dim, return_radial=True,
+                    di, mi_k, do, mo, self.edge_dim, return_radial=True,
                     name=f"pc_{di}_{do}",
-                )(edge_feat, basis)  # (B,J,S,mo_c,mi_c,nf)
+                )(edge_feat, basis)  # (B,J,S,mo_c,mi_k,nf)
                 B = basis[f"{di},{do}"]  # (B,J,S,2do+1,2di+1,nf)
+                R_rel = None
+                if di == 1 and self.x_ij == "cat":
+                    R, R_rel = R[..., :mi, :], R[..., mi, :]  # split extra channel
+                elif di == 1 and self.x_ij == "add" and mi > 1:
+                    R_rel = R[..., 0, :]  # rel adds into channel 0's kernel
                 if h[di].ndim == 4 and self.src_major:
                     # src-major edge layout (B, I, S, ...): src feature is the
                     # row itself, shared by all S slots
@@ -187,7 +201,27 @@ class GConvSE3Partial(nn.Module):
                                    precision=lax.Precision.HIGHEST)
                     contrib = jnp.einsum("bjsocf,bmfcjs->bomjs", R, t,
                                          precision=lax.Precision.HIGHEST)
+                if R_rel is not None:
+                    # per-edge degree-1 "feature" = rel_pos: contract basis
+                    # with rel (2di+1 = 3), then the per-channel radial weight
+                    t_rel = jnp.einsum("bxymnf,bxyn->bxymf", B, rel_pos,
+                                       precision=lax.Precision.HIGHEST)
+                    contrib = contrib + jnp.einsum(
+                        "bxyof,bxymf->bomxy", R_rel, t_rel,
+                        precision=lax.Precision.HIGHEST,
+                    )
                 msg = contrib if msg is None else msg + contrib
+            if self.x_ij == "cat" and 1 not in self.f_in.degrees:
+                # rel-only degree-1 input (reference m_ori == 0 case)
+                R1 = PairwiseConv(1, 1, do, mo, self.edge_dim,
+                                  return_radial=True, name=f"pc_1_{do}")(
+                    edge_feat, basis
+                )[..., 0, :]
+                B1 = basis[f"1,{do}"]
+                t_rel = jnp.einsum("bxymnf,bxyn->bxymf", B1, rel_pos,
+                                   precision=lax.Precision.HIGHEST)
+                msg = msg + jnp.einsum("bxyof,bxymf->bomxy", R1, t_rel,
+                                       precision=lax.Precision.HIGHEST)
             out[do] = msg  # (B, m_out, 2do+1, J, S)
         return out
 
@@ -457,10 +491,11 @@ class GSE3Res(nn.Module):
     learnable_skip: bool = True
     skip: str = "cat"
     selfint: str = "1x1"
+    x_ij: str = None
 
     @nn.compact
     def __call__(self, h: Features, edge_feat, basis, mask, h_src: Features = None,
-                 dst_idx=None) -> Features:
+                 dst_idx=None, rel_pos=None) -> Features:
         f_mid_out = Fiber({d: int(m // self.div) for d, m in self.f_out.dict.items()})
         f_mid_in = Fiber(
             {d: m for d, m in f_mid_out.dict.items() if d in self.f_in.degrees}
@@ -469,12 +504,12 @@ class GSE3Res(nn.Module):
         src_major = dst_idx is not None
         src = h_src if h_src is not None else h
         v = GConvSE3Partial(self.f_in, f_mid_out, self.edge_dim,
-                            src_major=src_major, name="v")(
-            src, edge_feat, basis
+                            src_major=src_major, x_ij=self.x_ij, name="v")(
+            src, edge_feat, basis, rel_pos=rel_pos
         )
         k = GConvSE3Partial(self.f_in, f_mid_in, self.edge_dim,
-                            src_major=src_major, name="k")(
-            src, edge_feat, basis
+                            src_major=src_major, x_ij=self.x_ij, name="k")(
+            src, edge_feat, basis, rel_pos=rel_pos
         )
         q = G1x1SE3(self.f_in, f_mid_in, name="q")(h)
 
@@ -537,6 +572,7 @@ class SE3Transformer(nn.Module):
     l1_in_features: int = 3
     l1_out_features: int = 3
     num_edge_features: int = 32
+    x_ij: str = None  # 'cat'/'add' relative-position injection (public surface)
 
     @nn.compact
     def __call__(self, h0, h1, edge_feat, rel_pos, mask, src_idx=None,
@@ -571,8 +607,10 @@ class SE3Transformer(nn.Module):
                 n_heads=self.n_heads,
                 skip="cat",
                 selfint=self.si_m,
+                x_ij=self.x_ij,
                 name=f"res_{i}",
-            )(h, feat, basis, mask, h_src=gather_src(h), dst_idx=dst_idx)
+            )(h, feat, basis, mask, h_src=gather_src(h), dst_idx=dst_idx,
+              rel_pos=rel_pos)
             h = GNormBias(f_mid, name=f"norm_{i}")(h)
             fin = f_mid
         h = GSE3Res(
@@ -583,8 +621,10 @@ class SE3Transformer(nn.Module):
             n_heads=min(1, 2),
             skip="cat",
             selfint=self.si_e,
+            x_ij=self.x_ij,
             name="res_out",
-        )(h, feat, basis, mask, h_src=gather_src(h), dst_idx=dst_idx)
+        )(h, feat, basis, mask, h_src=gather_src(h), dst_idx=dst_idx,
+          rel_pos=rel_pos)
         return h
 
 

@@ -605,3 +605,64 @@ def test_full_model_parity_config1_shallow(ref, trng):
         max_len=5000, atol=2e-3,  # shallow depth: one SE(3) stage of chaos
     )
     print("config1-shallow max|diff|:", json.dumps(diffs))
+
+
+@pytest.mark.parametrize("x_ij", ["cat", "add"])
+def test_se3_transformer_x_ij_modes(ref, trng, x_ij):
+    """GConvSE3Partial's relative-position injection (reference
+    modules.py:583-639) — 'cat' appends x_dst - x_src as an extra degree-1
+    channel, 'add' folds it into channel 0. Unused by the model (x_ij=None at
+    every call site) but public surface; verified against the actual
+    reference SE3Transformer(x_ij=...)."""
+    import torch as _torch
+
+    from tests import reference_stubs as rs
+    from rosettafold_tpu.models import se3 as jse3
+
+    l0, l1, de = 8, 3, 6
+    Lx = 5
+    coords = (trng.normal(size=(1, Lx, 3)) * 4.0).astype(np.float32)
+    edge_feat_np = trng.normal(size=(1, Lx, Lx, de)).astype(np.float32)
+    src, dst, rel, w = [], [], [], []
+    for i in range(Lx):
+        for j in range(Lx):
+            if i == j:
+                continue
+            src.append(i), dst.append(j)
+            rel.append(coords[0, j] - coords[0, i])
+            w.append(edge_feat_np[0, i, j])
+    G = rs.MiniDGLGraph(src, dst, num_nodes=Lx)
+    G.edata["d"] = t(np.array(rel))
+    G.edata["w"] = t(np.array(w))
+    G.ndata["x"] = t(coords[0])  # the x_ij path reads node coordinates
+
+    from rosettafold_pytorch.se3_modules import SE3Transformer as RefSE3
+
+    m = RefSE3(num_layers=2, num_channels=16, n_heads=4, num_degrees=2,
+               l0_in_features=l0, l1_in_features=l1, l0_out_features=l0,
+               l1_out_features=l1, num_edge_features=de, x_ij=x_ij)
+    m.eval()
+    h0 = trng.normal(size=(1, Lx, l0, 1)).astype(np.float32)
+    h1 = trng.normal(size=(1, Lx, l1, 3)).astype(np.float32)
+    with _torch.no_grad():
+        want = m(G, t(h0.reshape(Lx, l0, 1)), t(h1.reshape(Lx, l1, 3)))
+
+    jm = jse3.SE3Transformer(num_layers=2, num_channels=16, num_degrees=2,
+                             n_heads=4, l0_in_features=l0, l1_in_features=l1,
+                             l0_out_features=l0, l1_out_features=l1,
+                             num_edge_features=de, x_ij=x_ij)
+    ca = jnp.asarray(coords)
+    rel_pos = ca[:, :, None, :] - ca[:, None, :, :]
+    mask = jnp.asarray(~np.eye(Lx, dtype=bool)[None])
+    edge_w = jnp.swapaxes(jnp.asarray(edge_feat_np), 1, 2)
+    args = (jnp.asarray(h0), jnp.asarray(h1), edge_w, rel_pos, mask)
+    params = jm.init(jax.random.PRNGKey(0), *args)["params"]
+    params = import_module_params(
+        m, params,
+        "three_track_blocks.0.coord_update_with_msa_and_pair.se3_transformer.",
+        "three_track_0.coord_update_with_msa_and_pair.se3",
+    )
+    got = jm.apply({"params": params}, *args)
+    for d in (0, 1):
+        want_d = pu.n(want[str(d)]).reshape(1, Lx, *want[str(d)].shape[1:])
+        assert_close(got[d], want_d, label=f"se3_x_ij_{x_ij}.{d}")

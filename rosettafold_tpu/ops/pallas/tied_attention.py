@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, l_valid, block_k):
+def _kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
+            l_valid, block_k):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -71,6 +72,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, l_valid, block
     @pl.when(j == pl.num_programs(2) - 1)
     def _store():
         o_ref[0] = (acc_ref[...] / l_ref[..., :1]).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[..., :1] + jnp.log(l_ref[..., :1]))
 
 
 def _forward(q, k, v, block_q: int, block_k: int):
@@ -93,9 +95,12 @@ def _forward(q, k, v, block_q: int, block_k: int):
 
     grid = (BH, L // block_q, L // block_k)
     backend = jax.default_backend()
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_kernel, l_valid=l_valid, block_k=block_k),
-        out_shape=jax.ShapeDtypeStruct((BH, L, NDv), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, L, NDv), q.dtype),
+            jax.ShapeDtypeStruct((BH, L, 1), jnp.float32),  # logsumexp
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -104,7 +109,10 @@ def _forward(q, k, v, block_q: int, block_k: int):
                 pl.BlockSpec((1, block_k, ND), lambda b, i, j: (b, j, 0)),
                 pl.BlockSpec((1, block_k, NDv), lambda b, i, j: (b, j, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, NDv), lambda b, i, j: (b, i, 0)),
+            out_specs=(
+                pl.BlockSpec((1, block_q, NDv), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+            ),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, 128), jnp.float32),
@@ -116,7 +124,9 @@ def _forward(q, k, v, block_q: int, block_k: int):
         ),
         interpret=(backend not in ("tpu", "axon")),
     )(q, k, v)
-    return out if l_valid is None else out[:, :L_orig]
+    if l_valid is not None:
+        out, lse = out[:, :L_orig], lse[:, :L_orig]
+    return out, lse
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -126,23 +136,164 @@ def tied_flash_attention(q, k, v, block_q: int = 1024, block_k: int = 1024):
     q, k: (BH, L, ND); v: (BH, L, NDv) -> (BH, L, NDv).
     Default blocks are 1024 (measured fastest at L<=1024 on v5e; the VMEM
     footprint bq*bk*4 = 4 MB still fits); they clamp to L for shorter rows and
-    the j axis tiles for longer ones."""
-    return _forward(q, k, v, block_q, block_k)
+    the j axis tiles for longer ones.
+
+    Backward is also flash-tiled (Pallas): the (L, L) map never reaches HBM in
+    either direction, so the training memory profile matches inference."""
+    return _forward(q, k, v, block_q, block_k)[0]
 
 
 def _fwd(q, k, v, block_q, block_k):
-    return _forward(q, k, v, block_q, block_k), (q, k, v)
+    out, lse = _forward(q, k, v, block_q, block_k)
+    return out, (q, k, v, out, lse)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, d_ref, lse_ref, dk_ref, dv_ref,
+                dk_acc, dv_acc, *, l_valid, block_q):
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]  # (bq, ND)
+    k = k_ref[0]  # (bk, ND)
+    v = v_ref[0]  # (bk, NDv)
+    g = g_ref[0]  # (bq, NDv)
+    lse = lse_ref[0]  # (bq, 1)
+    dsum = d_ref[0]  # (bq, 1)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (bq, bk)
+    p = jnp.exp(s - lse)
+    if l_valid is not None:
+        row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+        p = jnp.where(row < l_valid, p, 0.0)
+    dv_acc[...] += jax.lax.dot_general(
+        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bk, NDv)
+    gv = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (bq, bk)
+    ds = p * (gv - dsum)
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bk, ND)
+
+    @pl.when(i == pl.num_programs(2) - 1)
+    def _store():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, g_ref, d_ref, lse_ref, dq_ref, dq_acc, *,
+               l_valid, block_k):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    lse = lse_ref[0]  # (bq, 1)
+    dsum = d_ref[0]  # (bq, 1)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse)
+    if l_valid is not None:
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        p = jnp.where(col < l_valid, p, 0.0)
+    gv = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (gv - dsum)
+    dq_acc[...] += jax.lax.dot(ds.astype(k.dtype), k,
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _store():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
 
 
 def _bwd(block_q, block_k, res, g):
-    q, k, v = res
-    s = jnp.einsum("bie,bje->bij", q, k, precision=jax.lax.Precision.HIGHEST)
-    att = jax.nn.softmax(s, axis=-1)
-    dv = jnp.einsum("bij,bid->bjd", att, g)
-    datt = jnp.einsum("bid,bjd->bij", g, v)
-    ds = att * (datt - jnp.sum(datt * att, axis=-1, keepdims=True))
-    dq = jnp.einsum("bij,bje->bie", ds, k)
-    dk = jnp.einsum("bij,bie->bje", ds, q)
+    q, k, v, out, lse = res
+    BH, L_orig, ND = q.shape
+    NDv = v.shape[-1]
+    dsum = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+                   keepdims=True)  # (BH, L, 1)
+
+    L = (L_orig + 127) // 128 * 128
+    l_valid = None if L == L_orig else L_orig
+    if l_valid is not None:
+        pad3 = ((0, 0), (0, L - L_orig), (0, 0))
+        q, k, v = jnp.pad(q, pad3), jnp.pad(k, pad3), jnp.pad(v, pad3)
+        g, dsum, lse = jnp.pad(g, pad3), jnp.pad(dsum, pad3), jnp.pad(lse, pad3)
+
+    bq = min(block_q, L)
+    bk = min(block_k, L)
+    backend = jax.default_backend()
+    interp = backend not in ("tpu", "axon")
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, l_valid=l_valid, block_q=bq),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, L, ND), q.dtype),
+            jax.ShapeDtypeStruct((BH, L, NDv), v.dtype),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(BH, L // bk, L // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, ND), lambda b, j, i: (b, i, 0)),
+                pl.BlockSpec((1, bk, ND), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, bk, NDv), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, bq, NDv), lambda b, j, i: (b, i, 0)),
+                pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0)),
+                pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, bk, ND), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, bk, NDv), lambda b, j, i: (b, j, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bk, ND), jnp.float32),
+                pltpu.VMEM((bk, NDv), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interp,
+    )(q, k, v, g, dsum, lse)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, l_valid=l_valid, block_k=bk),
+        out_shape=jax.ShapeDtypeStruct((BH, L, ND), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(BH, L // bq, L // bk),
+            in_specs=[
+                pl.BlockSpec((1, bq, ND), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, bk, ND), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, bk, NDv), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, bq, NDv), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, ND), lambda b, i, j: (b, i, 0)),
+            scratch_shapes=[pltpu.VMEM((bq, ND), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interp,
+    )(q, k, v, g, dsum, lse)
+
+    if l_valid is not None:
+        dq, dk, dv = dq[:, :L_orig], dk[:, :L_orig], dv[:, :L_orig]
     return dq, dk, dv
 
 

@@ -123,3 +123,17 @@ def test_performer_module_pallas_matches_xla(monkeypatch):
     out_xla = japply(xla_mod, params, x)
     out_pal = japply(pal_mod, params, x)
     np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla), atol=3e-5)
+
+
+def test_tied_flash_gradients_odd_length():
+    """Flash backward through the pad shim (L not a 128 multiple)."""
+    BH, L, ND = 2, 90, 32
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (BH, L, ND)) * 0.3
+    k = jax.random.normal(ks[1], (BH, L, ND)) * 0.3
+    v = jax.random.normal(ks[2], (BH, L, ND))
+
+    f_ker = jax.jit(jax.grad(lambda q, k, v: jnp.sum(tied_flash_attention(q, k, v) ** 2), (0, 1, 2)))
+    f_ref = jax.jit(jax.grad(lambda q, k, v: jnp.sum(_ref_attention(q, k, v) ** 2), (0, 1, 2)))
+    for a, b in zip(f_ker(q, k, v), f_ref(q, k, v)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)

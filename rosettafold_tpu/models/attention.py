@@ -2,12 +2,19 @@
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops import performer as favor
+
+# Fused-FAVOR+ crossover default, read ONCE at import (the value is baked into
+# the jitted graph at trace time, so a late env change could never take effect
+# anyway; prefer the fused_favor_min_l module attribute for programmatic
+# control).
+DEFAULT_FUSED_FAVOR_MIN_L = int(os.environ.get("RFTPU_FUSED_FAVOR_MIN_L", "2048"))
 
 
 class FeedForward(nn.Module):
@@ -53,6 +60,9 @@ class PerformerSelfAttention(nn.Module):
     # "pallas": fused kernel for the generalized (ReLU) mode — phi never leaves
     # VMEM, ~5x less HBM traffic at config-4 shapes (ops/pallas/linear_attention).
     attn_impl: str = "xla"
+    # L at/above which attn_impl="pallas" actually uses the fused kernel
+    # (None = DEFAULT_FUSED_FAVOR_MIN_L, i.e. RFTPU_FUSED_FAVOR_MIN_L at import)
+    fused_favor_min_l: Optional[int] = None
     dtype: Any = None  # compute dtype for projections/feature matmuls
 
     @nn.compact
@@ -79,10 +89,12 @@ class PerformerSelfAttention(nn.Module):
         # measured e2e: XLA wins ~6% at L=1024 (191.5k vs 180k pairs/s) and
         # ~20% at L=512. At L >= 2048 the XLA maps alone exceed HBM (~21 GB),
         # so the kernel is the only feasible path; that is the default
-        # crossover. Tune with RFTPU_FUSED_FAVOR_MIN_L.
-        import os
-
-        min_l = int(os.environ.get("RFTPU_FUSED_FAVOR_MIN_L", "2048"))
+        # crossover (fused_favor_min_l / RFTPU_FUSED_FAVOR_MIN_L at import).
+        min_l = (
+            self.fused_favor_min_l
+            if self.fused_favor_min_l is not None
+            else DEFAULT_FUSED_FAVOR_MIN_L
+        )
         use_fused = (
             self.attn_impl == "pallas"
             and self.generalized_attention

@@ -132,8 +132,15 @@ def knn_gather_indices(
     aa_j = aa_idx[:, :, None]
     aa_band = jax.vmap(lambda a, i: a[i])(aa_idx, band_idx)  # (B, L, 2*(kmin-1))
     band_valid = band_valid & (jnp.abs(aa_band - aa_j) < kmin)
-    # De-duplicate against the top-k slots.
-    dup = jnp.any(band_idx[..., None] == topk_idx[:, :, None, :], axis=-1)
+    # De-duplicate against the top-k slots — but only the *valid* ones. In
+    # k_dynamic mode slots at rank >= k_dynamic are masked out of the top-k, so
+    # a band edge that collides with such a slot must stay in the band or the
+    # edge vanishes from the graph entirely.
+    dup = jnp.any(
+        (band_idx[..., None] == topk_idx[:, :, None, :])
+        & topk_valid[:, :, None, :],
+        axis=-1,
+    )
     band_valid = band_valid & ~dup
 
     idx = jnp.concatenate([topk_idx, band_idx], axis=-1)

@@ -17,8 +17,9 @@ Layouts (prepared by the caller):
     v  (BH, L, NDv)  values with rows flattened into the channel axis
     -> out (BH, L, NDv)
 
-Backward: custom VJP that recomputes attention with plain einsums (same memory
-profile as the XLA forward; fine for training today, kernelizable later).
+Backward: flash-tiled Pallas kernel as well (`_bwd_kernel` below) — the
+forward saves only (out, logsumexp) and the backward recomputes probabilities
+tile-by-tile in VMEM, so the (L, L) map never hits HBM in training either.
 """
 
 from __future__ import annotations

@@ -173,3 +173,33 @@ def test_dynamic_k_matches_static():
         a = knn.knn_adjacency(xyz, aa, k_small)
         b = knn.knn_adjacency(xyz, aa, k_max, k_dynamic=jnp.asarray(k_small))
         assert bool((a == b).all()), (k_small, k_max)
+
+
+def test_dynamic_k_matches_static_gather():
+    """knn_gather_indices with k_dynamic must produce the SAME edge set as a
+    static smaller K — regression for the band/top-k dedup bug where band
+    edges colliding with a k_dynamic-masked top-k slot were dropped from both
+    (advisor r2 high: ops/knn.py)."""
+    import numpy as np
+
+    from rosettafold_tpu.ops import knn
+
+    def edge_set(idx, valid):
+        B, L, S = idx.shape
+        adj = np.zeros((B, L, L), dtype=bool)
+        idx, valid = np.asarray(idx), np.asarray(valid)
+        for b in range(B):
+            for j in range(L):
+                adj[b, j, idx[b, j][valid[b, j]]] = True
+        return adj
+
+    rng = np.random.default_rng(7)
+    xyz = jnp.asarray(rng.normal(size=(2, 24, 3, 3)) * 4.0, jnp.float32)
+    aa = jnp.tile(jnp.arange(24)[None], (2, 1))
+    for k_small, k_max in [(6, 16), (4, 24), (16, 16)]:
+        ia, va = knn.knn_gather_indices(xyz, aa, k_small)
+        ib, vb = knn.knn_gather_indices(
+            xyz, aa, k_max, k_dynamic=jnp.asarray(k_small)
+        )
+        ea, eb = edge_set(ia, va), edge_set(ib, vb)
+        assert (ea == eb).all(), (k_small, k_max, int((ea != eb).sum()))

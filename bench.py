@@ -44,7 +44,9 @@ def main():
         max_len=max(260, L + 10),
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         attn_impl=os.environ.get("BENCH_ATTN", "pallas"),
-        se3_impl=os.environ.get("BENCH_SE3", "dense" if L <= 256 else "gather"),
+        # match predict.py's serving default: exact scatter path for long
+        # sequences (gather is an approximation; VERDICT r2 weak #1)
+        se3_impl=os.environ.get("BENCH_SE3", "dense" if L <= 384 else "scatter"),
         long_chunk=(
             None
             if L <= 384 or os.environ.get("BENCH_CHUNK") == "0"

@@ -13,8 +13,10 @@ from ..ops import performer as favor
 # Fused-FAVOR+ crossover default, read ONCE at import (the value is baked into
 # the jitted graph at trace time, so a late env change could never take effect
 # anyway; prefer the fused_favor_min_l module attribute for programmatic
-# control).
-DEFAULT_FUSED_FAVOR_MIN_L = int(os.environ.get("RFTPU_FUSED_FAVOR_MIN_L", "2048"))
+# control). Measured crossover (BENCHMARKS.md, round 3): the fully fused
+# layer kernel (ops/pallas/fused_performer.py) beats XLA from L=512 up
+# (1.24x at 512, 1.6x at 1024) and is the only feasible path at L >= 2048.
+DEFAULT_FUSED_FAVOR_MIN_L = int(os.environ.get("RFTPU_FUSED_FAVOR_MIN_L", "512"))
 
 
 class FeedForward(nn.Module):
@@ -83,13 +85,14 @@ class PerformerSelfAttention(nn.Module):
             t = t.reshape(*t.shape[:-1], self.heads, self.dim_head)
             return jnp.moveaxis(t, -2, -3)
 
-        # The fused kernel eliminates the XLA path's (rows, L, m) HBM feature
-        # maps (standalone: 74 ms -> 29 ms per call at L=1024 on v5e), but
-        # in-context XLA recovers the difference through cross-op fusion —
-        # measured e2e: XLA wins ~6% at L=1024 (191.5k vs 180k pairs/s) and
-        # ~20% at L=512. At L >= 2048 the XLA maps alone exceed HBM (~21 GB),
-        # so the kernel is the only feasible path; that is the default
-        # crossover (fused_favor_min_l / RFTPU_FUSED_FAVOR_MIN_L at import).
+        # Fully fused layer kernel (ops/pallas/fused_performer.py): one Pallas
+        # program per row-problem computes the q/k/v projections, per-head
+        # FAVOR+, and the output projection entirely in VMEM — no per-head
+        # (P, L, dh) HBM transposes ever exist. Measured on v5e at config-4
+        # shapes: 38.9 ms vs 62.6 ms XLA at L=1024 (67 TFLOP/s = 59% of the
+        # measured ceiling); crossover at L=512. At L >= 2048 the XLA path's
+        # phi maps (~21 GB) exceed HBM and the kernel is the only feasible
+        # path. Tune via fused_favor_min_l / RFTPU_FUSED_FAVOR_MIN_L.
         min_l = (
             self.fused_favor_min_l
             if self.fused_favor_min_l is not None
@@ -100,33 +103,41 @@ class PerformerSelfAttention(nn.Module):
             and self.generalized_attention
             and x.shape[-2] >= min_l
         )
+        if use_fused:
+            from ..ops.pallas.fused_performer import fused_performer_layer
+
+            cdt = self.dtype or x.dtype
+            # Bind the projection submodules on dummy inputs (results unused
+            # -> DCE'd by XLA) so the fused path reads the same parameters
+            # under the same names as the XLA path.
+            _ = to_q(jnp.zeros((1, self.dim), x.dtype))
+            _ = to_k(jnp.zeros((1, self.dim), x.dtype))
+            _ = to_v(jnp.zeros((1, self.dim), x.dtype))
+            _ = to_out(jnp.zeros((1, inner), x.dtype))
+            wq = to_q.variables["params"]["kernel"].astype(cdt)
+            wk = to_k.variables["params"]["kernel"].astype(cdt)
+            wv = to_v.variables["params"]["kernel"].astype(cdt)
+            wo = to_out.variables["params"]["kernel"].astype(cdt)
+            bo = to_out.variables["params"]["bias"].astype(cdt)
+            lead, L = x.shape[:-2], x.shape[-2]
+            out = fused_performer_layer(
+                x.astype(cdt).reshape(-1, L, self.dim), wq, wk, wv, wo, bo,
+                projection, self.dim_head**-0.25, self.kernel_eps,
+                self.heads, self.dim_head,
+            ).reshape(*lead, L, self.dim)
+            return nn.Dropout(self.p_dropout)(out, deterministic=deterministic)
 
         def block(xc):
             q, k, v = split_heads(to_q(xc)), split_heads(to_k(xc)), split_heads(to_v(xc))
-            if use_fused:
-                from ..ops.pallas.linear_attention import (
-                    generalized_linear_attention,
-                )
-
-                scale = self.dim_head**-0.25
-                batch_shape = q.shape[:-2]
-                L = q.shape[-2]
-                flat = lambda t: t.reshape(-1, L, self.dim_head)
-                out = generalized_linear_attention(
-                    flat(q * scale), flat(k * scale), flat(v), projection,
-                    self.kernel_eps,
-                )
-                out = out.reshape(*batch_shape, L, self.dim_head)
-            else:
-                out = favor.favor_attention(
-                    q,
-                    k,
-                    v,
-                    projection,
-                    generalized=self.generalized_attention,
-                    kernel_eps=self.kernel_eps,
-                    softmax_eps=self.softmax_eps,
-                )
+            out = favor.favor_attention(
+                q,
+                k,
+                v,
+                projection,
+                generalized=self.generalized_attention,
+                kernel_eps=self.kernel_eps,
+                softmax_eps=self.softmax_eps,
+            )
             out = jnp.moveaxis(out, -3, -2)  # (..., L, h, dh)
             return to_out(out.reshape(*out.shape[:-2], inner))
 

@@ -1,0 +1,323 @@
+"""Fully fused generalized-FAVOR+ attention layer (Pallas).
+
+Round-2's `linear_attention.py` kernel fused only the FAVOR+ core and took
+per-head (P, L, dh) tensors — producing that layout from the (R, L, D) pair
+rows costs three (R, L, H*dh) HBM transposes each way, which is exactly why
+the fused kernel lost to XLA's cross-op fusion in context at L=1024
+(BENCHMARKS.md round-2 inference table). This kernel fuses the ENTIRE
+attention layer per row-problem:
+
+    q = (x @ Wq) * s,  k = (x @ Wk) * s,  v = x @ Wv        (L, H*dh)
+    per head h:
+        phi_q = relu(q_h @ P^T) + eps                        (L, m)  VMEM only
+        phi_k = relu(k_h @ P^T) + eps   (padded rows zeroed)
+        ctx   = phi_k^T @ v_h                                (m, dh)
+        ksum  = sum_L phi_k                                  (1, m)
+        att_h = (phi_q @ ctx) / max(phi_q @ ksum^T, 1e-12)
+    out = concat_h(att_h) @ Wo + bo                          (L, D)
+
+so HBM traffic is x + out + the small weights — no per-head tensor, no
+feature map, and no transpose ever exists outside VMEM. All matmuls are MXU
+dots with f32 accumulation; with bf16 inputs the projection GEMMs run at
+bf16 MXU rate.
+
+The backward is fused the same way (`_bwd_kernel`): residual = x only;
+q/k/v/phi are recomputed per row-problem in VMEM and the weight gradients
+accumulate across the sequential grid in VMEM accumulators. This removes the
+round-2 limitation where the fused forward's backward re-materialized the
+(rows, L, m) XLA feature maps (infeasible at L >= 2048).
+
+Math identical to performer-pytorch's generalized_attention=True path used by
+the reference's axial pair attention
+(/root/reference/rosettafold_pytorch/rosettafold_pytorch.py:501-528) — see
+ops/performer.generalized_kernel_features + linear_attention.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _row_iota(L):
+    return jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+
+
+def _fwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, p_ref,
+                o_ref, *, heads, dim_head, scale, kernel_eps, l_valid):
+    f32 = jnp.float32
+    x = x_ref[0]                     # (L, D)
+    L = x.shape[0]
+    cdt = x.dtype                    # compute dtype for MXU inputs (bf16/f32)
+    proj_t = p_ref[...].T.astype(cdt)  # (dh, m)
+
+    q = (jax.lax.dot(x, wq_ref[...], preferred_element_type=f32)
+         * scale).astype(cdt)        # (L, H*dh)
+    k = (jax.lax.dot(x, wk_ref[...], preferred_element_type=f32)
+         * scale).astype(cdt)
+    v = jax.lax.dot(x, wv_ref[...], preferred_element_type=f32).astype(cdt)
+
+    valid = (_row_iota(L) < l_valid)  # (L, 1)
+
+    att_parts = []
+    for h in range(heads):
+        sl = slice(h * dim_head, (h + 1) * dim_head)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        phi_q = (jax.nn.relu(
+            jax.lax.dot(qh, proj_t, preferred_element_type=f32))
+            + kernel_eps).astype(cdt)                        # (L, m)
+        phi_k = jax.nn.relu(
+            jax.lax.dot(kh, proj_t, preferred_element_type=f32)) + kernel_eps
+        phi_k = jnp.where(valid, phi_k, 0.0).astype(cdt)     # zero padded rows
+        ctx = jax.lax.dot_general(
+            phi_k, vh, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                      # (m, dh)
+        ksum = jnp.sum(phi_k.astype(f32), axis=0, keepdims=True)  # (1, m)
+        # VPU reduction: the (L,m)x(1,m) contraction trips a Mosaic
+        # verification bug as a bf16 dot, and it is bandwidth-trivial anyway
+        den = jnp.sum(phi_q.astype(f32) * ksum, axis=1, keepdims=True)
+        num = jax.lax.dot(phi_q, ctx.astype(cdt),
+                          preferred_element_type=f32)        # (L, dh)
+        att_parts.append(num / jnp.maximum(den, 1e-12))
+    att = jnp.concatenate(att_parts, axis=-1).astype(cdt)    # (L, H*dh)
+    out = jax.lax.dot(att, wo_ref[...], preferred_element_type=f32)
+    o_ref[0] = (out + bo_ref[...].astype(f32)).astype(o_ref.dtype)
+
+
+def _bwd_kernel(x_ref, gy_ref, wq_ref, wk_ref, wv_ref, wo_ref, p_ref,
+                wqt_ref, wkt_ref, wvt_ref, wot_ref,
+                dx_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dbo_ref, *,
+                heads, dim_head, scale, kernel_eps, l_valid):
+    f32 = jnp.float32
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dwk_ref[...] = jnp.zeros_like(dwk_ref)
+        dwv_ref[...] = jnp.zeros_like(dwv_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+
+    x = x_ref[0]                      # (L, D)
+    gy = gy_ref[0]                    # (L, D), padded rows zero
+    L = x.shape[0]
+    cdt = x.dtype
+    proj_t = p_ref[...].T.astype(cdt)   # (dh, m)
+    proj = p_ref[...].astype(cdt)       # (m, dh)
+
+    q = (jax.lax.dot(x, wq_ref[...], preferred_element_type=f32)
+         * scale).astype(cdt)
+    k = (jax.lax.dot(x, wk_ref[...], preferred_element_type=f32)
+         * scale).astype(cdt)
+    v = jax.lax.dot(x, wv_ref[...], preferred_element_type=f32).astype(cdt)
+    go_full = jax.lax.dot(gy.astype(cdt), wot_ref[...],
+                          preferred_element_type=f32)   # (L, H*dh)
+
+    valid = (_row_iota(L) < l_valid)
+
+    att_parts, gq_parts, gk_parts, gv_parts = [], [], [], []
+    for h in range(heads):
+        sl = slice(h * dim_head, (h + 1) * dim_head)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        sq = jax.lax.dot(qh, proj_t, preferred_element_type=f32)   # (L, m)
+        sk = jax.lax.dot(kh, proj_t, preferred_element_type=f32)
+        phi_q = (jax.nn.relu(sq) + kernel_eps).astype(cdt)
+        phi_k = jnp.where(valid, jax.nn.relu(sk) + kernel_eps, 0.0).astype(cdt)
+        ctx = jax.lax.dot_general(
+            phi_k, vh, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        ksum = jnp.sum(phi_k.astype(f32), axis=0, keepdims=True)   # (1, m)
+        den = jnp.sum(phi_q.astype(f32) * ksum, axis=1, keepdims=True)
+        num = jax.lax.dot(phi_q, ctx.astype(cdt), preferred_element_type=f32)
+        r = 1.0 / jnp.maximum(den, 1e-12)                          # (L, 1)
+        o_h = num * r                                              # (L, dh) f32
+        att_parts.append(o_h)
+
+        go = go_full[:, sl]                                        # (L, dh) f32
+        gnum = (go * r).astype(cdt)                                # (L, dh)
+        gden = (-jnp.sum(go * o_h, axis=-1, keepdims=True) * r)    # (L, 1) f32
+        # d phi_q = gnum @ ctx^T + gden * ksum
+        g_pq = (jax.lax.dot_general(
+            gnum, ctx.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+            + gden * ksum)                                         # (L, m) f32
+        g_ctx = jax.lax.dot_general(
+            phi_q, gnum, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                            # (m, dh)
+        g_ksum = jnp.sum(gden * phi_q.astype(f32), axis=0,
+                         keepdims=True)                            # (1, m)
+        g_pk = (jax.lax.dot_general(
+            vh, g_ctx.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+            + g_ksum)                                              # (L, m)
+        g_pk = jnp.where(valid, g_pk, 0.0)
+        g_sq = (g_pq * (sq > 0)).astype(cdt)
+        g_sk = (g_pk * (sk > 0)).astype(cdt)
+        gq_parts.append(jax.lax.dot(g_sq, proj, preferred_element_type=f32))
+        gk_parts.append(jax.lax.dot(g_sk, proj, preferred_element_type=f32))
+        gv_parts.append(jax.lax.dot(phi_k, g_ctx.astype(cdt),
+                                    preferred_element_type=f32))
+    att = jnp.concatenate(att_parts, axis=-1).astype(cdt)          # (L, H*dh)
+    gq = (jnp.concatenate(gq_parts, axis=-1) * scale).astype(cdt)
+    gk = (jnp.concatenate(gk_parts, axis=-1) * scale).astype(cdt)
+    gv = jnp.concatenate(gv_parts, axis=-1).astype(cdt)
+
+    dx = (jax.lax.dot(gq, wqt_ref[...], preferred_element_type=f32)
+          + jax.lax.dot(gk, wkt_ref[...], preferred_element_type=f32)
+          + jax.lax.dot(gv, wvt_ref[...], preferred_element_type=f32))
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    gyc = gy.astype(cdt)
+    dwq_ref[...] += jax.lax.dot_general(
+        x, gq, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    dwk_ref[...] += jax.lax.dot_general(
+        x, gk, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    dwv_ref[...] += jax.lax.dot_general(
+        x, gv, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    dwo_ref[...] += jax.lax.dot_general(
+        att, gyc, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    dbo_ref[...] += jnp.sum(gy.astype(jnp.float32), axis=0, keepdims=True)
+
+
+def _interpret():
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _pad_rows(t, L_pad):
+    L = t.shape[1]
+    if L == L_pad:
+        return t
+    return jnp.pad(t, ((0, 0), (0, L_pad - L), (0, 0)))
+
+
+def _forward(x, wq, wk, wv, wo, bo, projection, scale, kernel_eps,
+             heads, dim_head):
+    R, L, D = x.shape
+    L_pad = max(128, -(-L // 128) * 128)
+    xp = _pad_rows(x, L_pad)
+    kern = functools.partial(
+        _fwd_kernel, heads=heads, dim_head=dim_head, scale=scale,
+        kernel_eps=kernel_eps, l_valid=L)
+    hd = heads * dim_head
+    m = projection.shape[0]
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((R, L_pad, D), x.dtype),
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec((1, L_pad, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((D, hd), lambda i: (0, 0)),
+            pl.BlockSpec((D, hd), lambda i: (0, 0)),
+            pl.BlockSpec((D, hd), lambda i: (0, 0)),
+            pl.BlockSpec((hd, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((m, dim_head), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, L_pad, D), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(xp, wq, wk, wv, wo, bo.reshape(1, -1), projection)
+    return out[:, :L]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_performer_layer(x, wq, wk, wv, wo, bo, projection,
+                          scale, kernel_eps, heads, dim_head):
+    """Fused generalized-FAVOR+ attention layer.
+
+    x: (R, L, D) row-problems (R = batch * other pair axis), LN'd input.
+    wq/wk/wv: (D, heads*dim_head); wo: (heads*dim_head, D); bo: (D,).
+    projection: (m, dim_head) fixed random features (no gradient).
+    Returns (R, L, D) = attention output incl. the output projection
+    (dropout and residual are the caller's).
+    """
+    return _forward(x, wq, wk, wv, wo, bo, projection,
+                    scale, kernel_eps, heads, dim_head)
+
+
+def _fwd_rule(x, wq, wk, wv, wo, bo, projection, scale, kernel_eps,
+              heads, dim_head):
+    out = _forward(x, wq, wk, wv, wo, bo, projection,
+                   scale, kernel_eps, heads, dim_head)
+    return out, (x, wq, wk, wv, wo, projection)
+
+
+def _bwd_rule(scale, kernel_eps, heads, dim_head, res, gy):
+    x, wq, wk, wv, wo, projection = res
+    R, L, D = x.shape
+    L_pad = max(128, -(-L // 128) * 128)
+    xp, gyp = _pad_rows(x, L_pad), _pad_rows(gy.astype(x.dtype), L_pad)
+    hd = heads * dim_head
+    m = projection.shape[0]
+    kern = functools.partial(
+        _bwd_kernel, heads=heads, dim_head=dim_head, scale=scale,
+        kernel_eps=kernel_eps, l_valid=L)
+    w_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))
+    dx, dwq, dwk, dwv, dwo, dbo = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, L_pad, D), x.dtype),
+            jax.ShapeDtypeStruct((D, hd), jnp.float32),
+            jax.ShapeDtypeStruct((D, hd), jnp.float32),
+            jax.ShapeDtypeStruct((D, hd), jnp.float32),
+            jax.ShapeDtypeStruct((hd, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ),
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec((1, L_pad, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, L_pad, D), lambda i: (i, 0, 0)),
+            w_spec((D, hd)), w_spec((D, hd)), w_spec((D, hd)),
+            w_spec((hd, D)), w_spec((m, dim_head)),
+            w_spec((hd, D)), w_spec((hd, D)), w_spec((hd, D)),
+            w_spec((D, hd)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, L_pad, D), lambda i: (i, 0, 0)),
+            w_spec((D, hd)), w_spec((D, hd)), w_spec((D, hd)),
+            w_spec((hd, D)), w_spec((1, D)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(xp, gyp, wq, wk, wv, wo, projection,
+      wq.T, wk.T, wv.T, wo.T)
+    return (dx[:, :L], dwq.astype(wq.dtype), dwk.astype(wk.dtype),
+            dwv.astype(wv.dtype), dwo.astype(wo.dtype),
+            dbo[0].astype(jnp.float32), jnp.zeros_like(projection))
+
+
+fused_performer_layer.defvjp(_fwd_rule, _bwd_rule)
+
+
+def xla_reference(x, wq, wk, wv, wo, bo, projection, scale, kernel_eps,
+                  heads, dim_head):
+    """Plain-XLA implementation of the same fused layer (tests/benchmarks)."""
+    R, L, D = x.shape
+    split = lambda t: jnp.moveaxis(
+        t.reshape(R, L, heads, dim_head), -2, 1)        # (R, h, L, dh)
+    q = split(x @ wq) * scale
+    k = split(x @ wk) * scale
+    v = split(x @ wv)
+    phi = lambda t: jax.nn.relu(
+        jnp.einsum("rhld,md->rhlm", t, projection.astype(t.dtype))
+    ).astype(t.dtype) + jnp.asarray(kernel_eps, t.dtype)
+    pq, pk = phi(q), phi(k)
+    ctx = jnp.einsum("rhlm,rhld->rhmd", pk, v)
+    ksum = jnp.sum(pk.astype(jnp.float32), axis=-2)
+    den = jnp.einsum("rhlm,rhm->rhl", pq, ksum.astype(pq.dtype),
+                     preferred_element_type=jnp.float32)
+    num = jnp.einsum("rhlm,rhmd->rhld", pq, ctx,
+                     preferred_element_type=jnp.float32)
+    att = num / jnp.maximum(den, 1e-12)[..., None]
+    att = jnp.moveaxis(att, 1, -2).reshape(R, L, heads * dim_head)
+    return (att.astype(x.dtype) @ wo + bo).astype(x.dtype)

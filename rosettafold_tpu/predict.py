@@ -61,11 +61,28 @@ def predict(
 
     msa_j, seq_j, aa_j = jnp.asarray(msa), jnp.asarray(seq), jnp.asarray(aa_idx)
     if params_path:
-        from .train.checkpoint import restore
+        import dataclasses
 
-        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), msa_j, seq_j, aa_j)
-        target = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-        variables = restore(params_path, target=target)
+        from .train.checkpoint import restore
+        from .utils.scan_convert import adapt_params
+
+        def _target(scan_blocks: bool):
+            m = (model if scan_blocks == cfg.scan_blocks
+                 else RoseTTAFold(config=dataclasses.replace(
+                     cfg, scan_blocks=scan_blocks)))
+            shapes = jax.eval_shape(
+                m.init, jax.random.PRNGKey(0), msa_j, seq_j, aa_j)
+            return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+        try:
+            variables = restore(params_path, target=_target(cfg.scan_blocks))
+        except Exception:
+            # checkpoint saved in the other block layout (e.g. trained with
+            # --preset full, served with --preset fast): restore against the
+            # alternate target and stack/unstack (utils/scan_convert)
+            variables = restore(
+                params_path, target=_target(not cfg.scan_blocks))
+            variables = adapt_params(variables, want_scanned=cfg.scan_blocks)
     else:
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), msa_j, seq_j, aa_j)
 

@@ -108,21 +108,48 @@ def test_generalized_linear_attention_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
-def test_performer_module_pallas_matches_xla(monkeypatch):
+def test_performer_module_pallas_matches_xla():
     from rosettafold_tpu.models.attention import PerformerSelfAttention
 
-    # force the fused path at test-sized L (default crossover is L>=2048)
-    monkeypatch.setenv("RFTPU_FUSED_FAVOR_MIN_L", "1")
+    # force the fused path at test-sized L (default crossover is L>=512)
     x = jax.random.normal(jax.random.PRNGKey(0), (3, 20, 24))
     xla_mod = PerformerSelfAttention(dim=24, heads=2, dim_head=16,
                                      generalized_attention=True, nb_features=32)
     pal_mod = PerformerSelfAttention(dim=24, heads=2, dim_head=16,
                                      generalized_attention=True, nb_features=32,
-                                     attn_impl="pallas")
+                                     attn_impl="pallas", fused_favor_min_l=1)
     params = jinit(xla_mod, jax.random.PRNGKey(1), x)
     out_xla = japply(xla_mod, params, x)
     out_pal = japply(pal_mod, params, x)
     np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla), atol=3e-5)
+
+
+def test_performer_module_fused_gradients_match():
+    """Fully fused layer kernel backward vs the XLA path, through the module
+    (4D batch input like the axial pair attention uses)."""
+    from rosettafold_tpu.models.attention import PerformerSelfAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 21, 24))
+    xla_mod = PerformerSelfAttention(dim=24, heads=2, dim_head=16,
+                                     generalized_attention=True, nb_features=32)
+    pal_mod = PerformerSelfAttention(dim=24, heads=2, dim_head=16,
+                                     generalized_attention=True, nb_features=32,
+                                     attn_impl="pallas", fused_favor_min_l=1)
+    params = jinit(xla_mod, jax.random.PRNGKey(1), x)
+
+    def loss(mod):
+        return lambda p, x: jnp.sum(mod.apply(p, x) ** 2)
+
+    g_xla = jax.jit(jax.grad(loss(xla_mod), argnums=(0, 1)))(params, x)
+    g_pal = jax.jit(jax.grad(loss(pal_mod), argnums=(0, 1)))(params, x)
+    # input grad
+    np.testing.assert_allclose(np.asarray(g_pal[1]), np.asarray(g_xla[1]),
+                               atol=5e-5)
+    # param grads (same tree structure by construction)
+    flat_x = jax.tree.leaves(g_xla[0])
+    flat_p = jax.tree.leaves(g_pal[0])
+    for a, b in zip(flat_x, flat_p):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
 
 
 def test_tied_flash_gradients_odd_length():

@@ -54,6 +54,79 @@ def test_predict_pipeline_tiny(a3m_file, tmp_path):
     assert xyz2.shape == (L, 3, 3)
 
 
+def test_scan_convert_roundtrip():
+    """stack/unstack between the scan_blocks and unscanned param layouts is a
+    lossless structural bijection (VERDICT r2 #4)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from rosettafold_tpu.models.rosettafold import RoseTTAFold
+    from rosettafold_tpu.utils.scan_convert import (
+        stack_block_params, unstack_block_params)
+
+    cfg = dataclasses.replace(_tiny_cfg(16), scan_blocks=False)
+    cfg_s = dataclasses.replace(cfg, scan_blocks=True)
+    msa = jnp.zeros((1, 2, 12), jnp.int32)
+    aa = jnp.arange(12)[None]
+    p_un = RoseTTAFold(config=cfg).init(
+        jax.random.PRNGKey(0), msa, msa[:, 0], aa)["params"]
+    p_sc = RoseTTAFold(config=cfg_s).init(
+        jax.random.PRNGKey(0), msa, msa[:, 0], aa)["params"]
+
+    # unscanned -> scanned: structure must match the scan-mode init exactly
+    stacked = stack_block_params(p_un)
+    assert jax.tree.structure(stacked) == jax.tree.structure(p_sc)
+    assert all(
+        a.shape == b.shape
+        for a, b in zip(jax.tree.leaves(stacked), jax.tree.leaves(p_sc))
+    )
+    # scanned -> unscanned: ditto
+    unstacked = unstack_block_params(p_sc)
+    assert jax.tree.structure(unstacked) == jax.tree.structure(p_un)
+    # round trips are exact
+    rt = unstack_block_params(stacked)
+    for a, b in zip(jax.tree.leaves(rt), jax.tree.leaves(p_un)):
+        assert a.shape == b.shape and bool(jnp.all(a == b))
+    rt2 = stack_block_params(unstacked)
+    for a, b in zip(jax.tree.leaves(rt2), jax.tree.leaves(p_sc)):
+        assert a.shape == b.shape and bool(jnp.all(a == b))
+
+    # converted params actually serve the other mode
+    logits, xyz, plddt = jax.jit(RoseTTAFold(config=cfg_s).apply)(
+        {"params": stacked}, msa, msa[:, 0], aa)
+    assert bool(jnp.isfinite(xyz).all() and jnp.isfinite(plddt).all())
+
+
+def test_predict_restores_cross_layout_checkpoint(a3m_file, tmp_path):
+    """A checkpoint trained in the default (unscanned) layout serves under
+    scan_blocks=True (the --preset fast path) via utils/scan_convert."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from rosettafold_tpu.data.a3m import load_a3m, msa_features
+    from rosettafold_tpu.models.rosettafold import RoseTTAFold
+    from rosettafold_tpu.predict import predict
+    from rosettafold_tpu.train.checkpoint import save
+
+    cfg = _tiny_cfg(24)
+    tokens = load_a3m(a3m_file)
+    msa, seq, aa_idx = msa_features(tokens, n_seq=4)
+    variables = RoseTTAFold(config=cfg).init(
+        jax.random.PRNGKey(0), jnp.asarray(msa), jnp.asarray(seq),
+        jnp.asarray(aa_idx))
+    ckpt = str(tmp_path / "ckpt")
+    save(ckpt, variables)
+
+    cfg_s = dataclasses.replace(cfg, scan_blocks=True)
+    logits, xyz, plddt, _, _ = predict(
+        a3m_file, params_path=ckpt, n_seq=4, config=cfg_s)
+    assert bool(jnp.isfinite(xyz).all())
+
+
 def test_count_parameters_and_summary():
     import jax
     import jax.numpy as jnp

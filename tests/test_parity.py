@@ -592,6 +592,86 @@ def test_full_model_parity_config1(ref, trng):
 
 @pytest.mark.skipif(
     not __import__("os").environ.get("RFTPU_PARITY_FULL"),
+    reason="chaos-envelope measurement: run with RFTPU_PARITY_FULL=1 (slow, CPU)",
+)
+def test_full_model_parity_config1_chaos_envelope(ref, trng):
+    """Executable pin of the PARITY.md full-depth reproducibility bound
+    (VERDICT r2 #9): perturb the REFERENCE'S OWN activations by ~1 ulp and
+    assert (a) its self-deviation already exceeds the BASELINE 1e-4 criterion
+    — i.e. 1e-4 at full depth is unattainable for any non-bitwise-identical
+    implementation — and (b) that envelope, scaled by the ~sqrt(K)-ulp
+    accumulation-order noise of an independent matmul implementation
+    (K = 288..1536 -> ~17..40 ulps; bound used: 64), brackets the measured
+    cross-framework delta that test_full_model_parity_config1 pins."""
+    import json, os
+
+    d = dict(d_msa=384, d_pair=288, d_node=64, d_edge=64, d_state=32)
+    n_two, n_three, n_enc = 3, 4, 4
+    n_neighbors = (128, 128, 64, 64, 64)
+    b, n, l, max_len = 1, 8, 128, 5000
+
+    m = ref.RoseTTAFold(
+        d_input=21, n_two_track_blocks=n_two, n_three_track_blocks=n_three,
+        n_encoder_layers=n_enc, max_len=max_len, n_neighbors=list(n_neighbors),
+        p_dropout=0.0, **d,
+    )
+    eval_all(m)
+    pu.sync_performer(m, pu.performer_seed_fn(n_two))
+
+    msa = trng.integers(0, 21, size=(b, n, l))
+    seq = msa[:, 0].copy()
+    aa = _aa_idx(trng, b, l, max_len)
+
+    with torch.no_grad():
+        clean_logits, clean_xyz, clean_plddt = m(t(msa), t(seq), t(aa))
+
+    # ~1-ulp relative gaussian noise on every Linear/Conv/LayerNorm output
+    gen = torch.Generator().manual_seed(7)
+    hooks = []
+
+    def _noise(mod, inp, out):
+        if isinstance(out, torch.Tensor) and out.is_floating_point():
+            return out * (1.0 + 6e-8 * torch.randn(
+                out.shape, generator=gen, dtype=out.dtype))
+        return out
+
+    for sub in m.modules():
+        if isinstance(sub, (torch.nn.Linear, torch.nn.Conv2d,
+                            torch.nn.LayerNorm)):
+            hooks.append(sub.register_forward_hook(_noise))
+    try:
+        with torch.no_grad():
+            noisy_logits, noisy_xyz, noisy_plddt = m(t(msa), t(seq), t(aa))
+    finally:
+        for h in hooks:
+            h.remove()
+
+    env = {}
+    for k in ("theta", "phi", "dist", "omega"):
+        env[f"logits.{k}"] = pu.max_abs_diff(noisy_logits[k], clean_logits[k])
+    env["xyz"] = pu.max_abs_diff(noisy_xyz, clean_xyz)
+    env["plddt"] = pu.max_abs_diff(noisy_plddt, clean_plddt)
+    print("1-ulp self-deviation envelope:", json.dumps(
+        {k: round(v, 6) for k, v in env.items()}))
+
+    # (a) the reference's own 1-ulp envelope exceeds the 1e-4 criterion
+    assert max(env[f"logits.{k}"] for k in ("theta", "phi", "dist", "omega")) > 1e-4, env
+    assert env["xyz"] > 1e-3, env
+
+    # (b) the envelope x sqrt(K)-ulp factor brackets the measured
+    # cross-framework delta (the tolerances test_full_model_parity_config1
+    # asserts); a violation means the relaxed tolerance has rotted.
+    FACTOR = 64.0
+    tol = float(os.environ.get("RFTPU_PARITY_TOL", "0.05"))
+    logit_env = max(env[f"logits.{k}"] for k in ("theta", "phi", "dist", "omega"))
+    assert tol <= FACTOR * max(logit_env, env["plddt"]), (
+        "pinned full-depth tolerance is no longer justified by the measured "
+        f"chaos envelope: tol={tol}, envelope={env}")
+    assert 1.0 <= FACTOR * env["xyz"], env
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RFTPU_PARITY_FULL"),
     reason="full-width shallow-depth parity: run with RFTPU_PARITY_FULL=1",
 )
 def test_full_model_parity_config1_shallow(ref, trng):

@@ -40,8 +40,10 @@ def main():
     from rosettafold_tpu import RoseTTAFoldConfig
     from rosettafold_tpu.models.rosettafold import RoseTTAFold
 
+    use_template = os.environ.get("BENCH_TEMPLATE", "0") == "1"
     cfg = RoseTTAFoldConfig(
         max_len=max(260, L + 10),
+        use_template=use_template,
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         attn_impl=os.environ.get("BENCH_ATTN", "pallas"),
         # match predict.py's serving default: exact scatter path for long
@@ -53,6 +55,10 @@ def main():
             else int(os.environ.get("BENCH_CHUNK", 128))
         ),
         scan_blocks=os.environ.get("BENCH_SCAN", "0") == "1",
+        # L >= 2048: the unchunked head's conv temps alone exceed HBM
+        head_chunk=(int(os.environ["BENCH_HEAD_CHUNK"])
+                    if "BENCH_HEAD_CHUNK" in os.environ
+                    else (512 if L > 1024 else None)),
     )
     model = RoseTTAFold(config=cfg)
 
@@ -60,8 +66,12 @@ def main():
     msa = jax.random.randint(rng, (B, N, L), 0, 21)
     seq = msa[:, 0]
     aa_idx = jnp.tile(jnp.arange(L)[None], (B, 1))
+    template = (
+        jax.random.normal(rng, (B, L, L, cfg.d_template)) * 0.1
+        if use_template else None
+    )
 
-    params = jax.jit(model.init)(rng, msa, seq, aa_idx)
+    params = jax.jit(model.init)(rng, msa, seq, aa_idx, template)
 
     # The tunnel costs ~30 ms per host-fetch (BENCHMARKS.md), so chain REPS
     # full forwards per fetched checksum, with a data dependency between reps
@@ -70,11 +80,11 @@ def main():
     REPS = int(os.environ.get("BENCH_REPS", 4))
 
     @jax.jit
-    def fwd(params, msa, seq, aa_idx):
+    def fwd(params, msa, seq, aa_idx, template):
         def body(_, carry):
             s, aa = carry
             zero = jnp.where(jnp.isnan(s), 1, 0).astype(aa.dtype)
-            logits, xyz, plddt = model.apply(params, msa, seq, aa + zero)
+            logits, xyz, plddt = model.apply(params, msa, seq, aa + zero, template)
             # scalar checksum forces full materialization when fetched
             s = plddt.sum() + xyz.sum() + logits["dist"].sum()
             return s, aa
@@ -84,10 +94,10 @@ def main():
         return s
 
     for _ in range(WARMUP):
-        float(fwd(params, msa, seq, aa_idx))
+        float(fwd(params, msa, seq, aa_idx, template))
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        float(fwd(params, msa, seq, aa_idx))
+        float(fwd(params, msa, seq, aa_idx, template))
     latency = (time.perf_counter() - t0) / (ITERS * REPS)
 
     pairs_per_sec = B * L * L / latency
@@ -115,7 +125,8 @@ def main():
         json.dumps(
             {
                 "metric": f"inference residue-pairs/sec/chip (B={B},N={N},L={L}, "
-                f"{cfg.compute_dtype}+{cfg.attn_impl})",
+                f"{cfg.compute_dtype}+{cfg.attn_impl}"
+                + (",template" if use_template else "") + ")",
                 "value": round(pairs_per_sec, 2),
                 "unit": "pairs/s",
                 "vs_baseline": round(vs_baseline, 4),

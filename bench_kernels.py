@@ -155,6 +155,59 @@ def bench_favor_axial_pallas(L, dtype, d_pair=288, h=8, dh=64, m=320):
     return dict(sec=sec, flops=flops, bytes=bytes_)
 
 
+def bench_fused_performer_layer(L, dtype, d_pair=288, h=8, dh=64, m=320):
+    """Round-3 fully fused axial-attention layer (q/k/v proj + FAVOR+ +
+    out-proj in one kernel; ops/pallas/fused_performer.py)."""
+    from rosettafold_tpu.ops.pallas.fused_performer import fused_performer_layer
+    from rosettafold_tpu.ops.performer import gaussian_orthogonal_matrix
+
+    R, HD = L, h * dh
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    x = (jax.random.normal(ks[0], (R, L, d_pair)) * 0.3).astype(dtype)
+    wq, wk, wv = ((jax.random.normal(k, (d_pair, HD)) * 0.05).astype(dtype)
+                  for k in ks[1:4])
+    wo = (jax.random.normal(ks[4], (HD, d_pair)) * 0.05).astype(dtype)
+    bo = (jax.random.normal(ks[5], (d_pair,)) * 0.1).astype(dtype)
+    proj = jnp.asarray(gaussian_orthogonal_matrix(m, dh, seed=0))
+    scale = dh ** -0.25
+
+    sec = _time(
+        lambda x: fused_performer_layer(x, wq, wk, wv, wo, bo, proj,
+                                        scale, 1e-3, h, dh),
+        x, reps=5, iters=5,
+    )
+    flops = (3 * 2 * R * L * d_pair * HD
+             + R * h * (2 * 2 * L * dh * m + 2 * m * L * dh + 2 * L * m * dh
+                        + 2 * L * m)
+             + 2 * R * L * HD * d_pair)
+    bytes_ = 2 * R * L * d_pair * x.dtype.itemsize
+    return dict(sec=sec, flops=flops, bytes=bytes_)
+
+
+def bench_fused_opm(L, dtype, N=8, d=32, d_pair=288):
+    """Round-3 fused OPM kernel (LN folded into the projection;
+    ops/pallas/outer_product.py)."""
+    from rosettafold_tpu.ops.pallas.outer_product import fused_outer_product_mean
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (1, N, L, d), jnp.float32)
+    y = (jax.random.normal(ks[1], (1, N, L, d)) * 0.5).astype(dtype)
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[2], (d * d,))
+    beta = 0.1 * jax.random.normal(ks[3], (d * d,))
+    w = (0.1 * jax.random.normal(ks[4], (d * d, d_pair))).astype(dtype)
+    b = 0.1 * jax.random.normal(ks[5], (d_pair,))
+
+    def step(y):
+        out = fused_outer_product_mean(x, y, gamma, beta, w, b, 1e-5, dtype)
+        return y + (jnp.sum(out.astype(jnp.float32)) * 0).astype(y.dtype)
+
+    sec = _time(step, y, reps=5, iters=5)
+    # useful FLOPs = the factored contraction, per i: H build + t1
+    flops = L * (2 * N * d * d * d_pair + 2 * L * N * d * d_pair)
+    bytes_ = (2 * N * L * d + L * L * d_pair) * y.dtype.itemsize
+    return dict(sec=sec, flops=flops, bytes=bytes_)
+
+
 def bench_outer_product(L, dtype, N=8, d=32, d_pair=288):
     ks = jax.random.split(jax.random.PRNGKey(0), 2)
     x = (jax.random.normal(ks[0], (1, N, L, d)) * 0.1).astype(dtype)
@@ -244,7 +297,9 @@ FAMILIES = {
     "tied_attention_xla": bench_tied_attention_xla,
     "favor_axial": bench_favor_axial,
     "favor_axial_pallas": bench_favor_axial_pallas,
+    "fused_performer_layer": bench_fused_performer_layer,
     "outer_product": bench_outer_product,
+    "fused_opm": bench_fused_opm,
     "conv3x3_head": bench_conv_head,
     "se3_gse3res": bench_se3_block,
 }

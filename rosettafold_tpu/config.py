@@ -68,6 +68,10 @@ class RoseTTAFoldConfig:
     # Row-chunking for the long-sequence path (bounds the outer-product and
     # FAVOR+ feature intermediates to O(chunk * L)); None = no chunking.
     long_chunk: Optional[int] = None
+    # Row-chunk the prediction head's conv towers at inference (exact halos +
+    # global InstanceNorm stats; models/resnet.py). Required at L >= 2048
+    # where the unchunked conv temporaries alone exceed HBM. None = unchunked.
+    head_chunk: Optional[int] = None
     # Rematerialize the two-/three-track blocks on the backward pass (trades
     # ~cbrt memory for recompute; enable for long-sequence / large-batch training).
     remat: bool = False

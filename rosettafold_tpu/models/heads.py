@@ -7,7 +7,7 @@ dist/omega the symmetrized one. Four dilated-conv ResNet towers.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -17,12 +17,17 @@ from .resnet import ResNet
 
 class PredictionHead(nn.Module):
     """pair (B, L, L, C) -> dict of logits:
-    theta (37), phi (19) from asymmetric; dist (37), omega (37) from symmetrized."""
+    theta (37), phi (19) from asymmetric; dist (37), omega (37) from symmetrized.
+
+    row_chunk: long-L inference mode — the ResNet towers run row-chunked with
+    exact conv halos (models/resnet.py); required at L >= 2048 where the
+    unchunked conv temporaries alone exceed HBM."""
 
     in_channels: int
     n_res_blocks: int = 4
     p_dropout: float = 0.1
     dtype: Any = None
+    row_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, pair, deterministic: bool = True):
@@ -38,6 +43,7 @@ class PredictionHead(nn.Module):
                 n_bins,
                 p_dropout=self.p_dropout,
                 dtype=self.dtype,
+                row_chunk=self.row_chunk,
                 name=name,
             )
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from .attention import FeedForward, PerformerSelfAttention
 from .msa import PositionWiseWeightFactor
-from .resnet import InstanceNorm2d
+from .resnet import InstanceNorm2d, _conv_rows, _InStats
 
 
 def symmetrize(x: jnp.ndarray) -> jnp.ndarray:
@@ -36,6 +36,11 @@ class OuterProductMean(nn.Module):
     # rows of i per chunk; bounds the (B, chunk, L, u*v) intermediate so the
     # full (B, L, L, u*v) outer product never materializes (long-sequence path)
     chunk_size: int = None
+    # "pallas": fused kernel that never materializes the (B, L, L, u*v) outer
+    # product at all — the LayerNorm is folded algebraically into the
+    # projection (ops/pallas/outer_product.py). Engaged for L >= fused_min_l.
+    impl: str = "xla"
+    fused_min_l: int = 256
     dtype: Any = None
 
     @nn.compact
@@ -46,6 +51,22 @@ class OuterProductMean(nn.Module):
         L = x.shape[2]
         ln = nn.LayerNorm(epsilon=1e-5, name="ln")
         dense = nn.Dense(self.out_features, dtype=self.dtype, name="to_out")
+
+        if self.impl == "pallas" and L >= self.fused_min_l:
+            from ..ops.pallas.outer_product import fused_outer_product_mean
+
+            uv = self.in_features ** 2
+            # bind the submodules on dummies (DCE'd) to read their params
+            _ = ln(jnp.zeros((1, uv), jnp.float32))
+            _ = dense(jnp.zeros((1, uv), x.dtype))
+            return fused_outer_product_mean(
+                x.astype(jnp.float32), y,
+                ln.variables["params"]["scale"],
+                ln.variables["params"]["bias"],
+                dense.variables["params"]["kernel"].astype(x.dtype),
+                dense.variables["params"]["bias"].astype(jnp.float32),
+                1e-5, self.dtype or jnp.float32,
+            )
 
         def block(x_rows):
             op = jnp.einsum("bniu,bnjv->bijuv", x_rows, y)
@@ -74,6 +95,11 @@ class PairUpdateWithMsa(nn.Module):
     n_heads: int = 12
     p_dropout: float = 0.1
     long_chunk: int = None
+    attn_impl: str = "xla"  # "pallas" also engages the fused OPM kernel
+    # row-chunk the two 3x3 convs at inference (exact halos + global IN
+    # stats, models/resnet.py) — at L=2048 the unchunked conv temporaries
+    # are 2 x 3 GB (BENCHMARKS.md)
+    row_chunk: int = None
     dtype: Any = None
 
     @nn.compact
@@ -91,39 +117,71 @@ class PairUpdateWithMsa(nn.Module):
         w = w[:, :, 0]  # (B, N, L, 1)
 
         coevol = OuterProductMean(
-            self.d_proj, self.d_pair, chunk_size=self.long_chunk, dtype=self.dtype,
+            self.d_proj, self.d_pair, chunk_size=self.long_chunk,
+            impl=self.attn_impl, dtype=self.dtype,
             name="outer_product_mean",
         )(m, m * w)
         coevol = nn.LayerNorm(epsilon=1e-5, name="ln_coevol_feat")(coevol)
 
         msa_1d = jnp.concatenate([jnp.sum(m, axis=1), m[:, 0]], axis=-1)  # (B, L, 2p)
-        row_tiled = jnp.broadcast_to(
-            msa_1d[:, :, None, :], (*msa_1d.shape[:2], L, msa_1d.shape[-1])
-        )
-        col_tiled = jnp.swapaxes(row_tiled, 1, 2)
+        pair_ln = nn.LayerNorm(epsilon=1e-5, name="ln_pair")(pair)
 
-        feat = jnp.concatenate(
-            [
-                coevol,
-                row_tiled,
-                col_tiled,
-                nn.LayerNorm(epsilon=1e-5, name="ln_pair")(pair),
-                att,
-            ],
-            axis=-1,
+        # resnet_in applied WITHOUT materializing the (B, L, L, 716) feature
+        # concat (6 GB bf16 at L=2048): Dense(concat(parts)) decomposes into a
+        # sum of per-part projections through row slices of the same kernel,
+        # and the row-/col-tiled MSA features are projected BEFORE tiling —
+        # a (B, L, 2p) matmul broadcast-added instead of an L^2 one. The
+        # resnet_in/kernel parameter keeps the concat formulation's (716, 288)
+        # shape; concat order: [coevol, row, col, ln_pair, att].
+        d2p = msa_1d.shape[-1]
+        resnet_in = nn.Dense(self.d_pair, dtype=self.dtype, name="resnet_in")
+        n_feat = self.d_pair + 2 * d2p + self.d_pair + att.shape[-1]
+        _ = resnet_in(jnp.zeros((1, n_feat), msa_1d.dtype))  # bind (DCE'd)
+        kern = resnet_in.variables["params"]["kernel"]
+        bias = resnet_in.variables["params"]["bias"]
+        ct = self.dtype or jnp.float32
+        kern = kern.astype(ct)
+        o = 0
+        w_coevol = kern[o:o + self.d_pair]; o += self.d_pair
+        w_row = kern[o:o + d2p]; o += d2p
+        w_col = kern[o:o + d2p]; o += d2p
+        w_pair = kern[o:o + self.d_pair]; o += self.d_pair
+        w_att = kern[o:]
+        row_proj = msa_1d.astype(ct) @ w_row  # (B, L, d_pair)
+        col_proj = msa_1d.astype(ct) @ w_col
+        x = (
+            coevol.astype(ct) @ w_coevol
+            + pair_ln.astype(ct) @ w_pair
+            + att.astype(ct) @ w_att
+            + row_proj[:, :, None, :]
+            + col_proj[:, None, :, :]
+            + bias.astype(ct)
         )
 
-        # Linear -> Residual(conv3x3 -> IN -> ELU -> Dropout -> conv3x3 -> IN) -> ELU
-        x = nn.Dense(self.d_pair, dtype=self.dtype, name="resnet_in")(feat)
-        y = nn.Conv(self.d_pair, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
-        y = InstanceNorm2d(self.d_pair, name="in1")(y)
-        y = nn.elu(y)
-        y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
-        y = nn.Conv(self.d_pair, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="conv2")(y)
-        y = InstanceNorm2d(self.d_pair, name="in2")(y)
-        return nn.elu(x.astype(jnp.float32) + y)
+        conv1 = nn.Conv(self.d_pair, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.dtype, name="conv1")
+        conv2 = nn.Conv(self.d_pair, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.dtype, name="conv2")
+        if self.row_chunk is not None and L > self.row_chunk and deterministic:
+            c = self.row_chunk
+            y1 = _conv_rows(conv1, x, 1, c)
+            in1 = _InStats(self.d_pair, name="in1")(y1)
+            pre1 = lambda t: nn.elu(in1(t))
+            y2 = _conv_rows(conv2, y1, 1, c, pre=pre1)
+            y = _InStats(self.d_pair, name="in2")(y2)(y2)
+        else:
+            y = conv1(x)
+            y = InstanceNorm2d(self.d_pair, name="in1")(y)
+            y = nn.elu(y)
+            y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+            y = conv2(y)
+            y = InstanceNorm2d(self.d_pair, name="in2")(y)
+        # Residual add in f32, but the pair STREAM between blocks stays in the
+        # compute dtype: at L=1024 the f32 stream cost ~1.1 s of elementwise
+        # loop fusions per forward (profiles/l1024_r3/ANALYSIS.md); bf16
+        # halves that traffic. LN/IN statistics remain f32 throughout.
+        out = nn.elu(x.astype(jnp.float32) + y)
+        return out if self.dtype is None else out.astype(self.dtype)
 
 
 class PairUpdateWithAxialAttentionLayer(nn.Module):
@@ -146,6 +204,8 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)  # bf16 residual stream (LN stats stay f32)
         row_attn = PerformerSelfAttention(
             dim=self.d_pair,
             heads=self.n_heads,

@@ -7,7 +7,7 @@ The reference runs NCHW Conv2d + InstanceNorm2d; here everything is NHWC
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -36,36 +36,107 @@ class InstanceNorm2d(nn.Module):
 
 class ResBlock2D(nn.Module):
     """conv3x3(dilated) -> IN -> ELU -> Dropout -> conv3x3 -> IN, residual, outer ELU
-    (resnet.py:15-44)."""
+    (resnet.py:15-44).
+
+    row_chunk: long-L inference mode — both convolutions run row-chunked with
+    an exact `dilation`-row halo; IN statistics are computed globally over the
+    full raw conv output and their affine application is fused into the next
+    chunk read, so outputs equal the unchunked path while per-conv temporaries
+    shrink from O(L^2 C) to O(chunk L C). (At L=2048 the unchunked prediction
+    head holds 6 x 3 GB conv temps and exceeds HBM — BENCHMARKS.md.)"""
 
     channels: int
     kernel_size: int = 3
     dilation: int = 1
     p_dropout: float = 0.15
     dtype: Any = None
+    row_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         k = (self.kernel_size, self.kernel_size)
         d = (self.dilation, self.dilation)
-        y = nn.Conv(
+        conv1 = nn.Conv(
             self.channels, k, kernel_dilation=d, padding="SAME", use_bias=False,
             dtype=self.dtype, name="conv1",
-        )(x)
+        )
+        conv2 = nn.Conv(
+            self.channels, k, kernel_dilation=d, padding="SAME", use_bias=False,
+            dtype=self.dtype, name="conv2",
+        )
+        if self.row_chunk is not None and x.shape[1] > self.row_chunk:
+            assert deterministic, "row-chunked ResBlock2D is an inference path"
+            c = self.row_chunk
+            y1 = _conv_rows(conv1, x, self.dilation, c)
+            in1 = _InStats(self.channels, name="in1")(y1)
+            pre1 = lambda t: nn.elu(in1(t))
+            y2 = _conv_rows(conv2, y1, self.dilation, c, pre=pre1)
+            in2 = _InStats(self.channels, name="in2")(y2)
+            out = nn.elu(x.astype(jnp.float32) + in2(y2))
+            return out if self.dtype is None else out.astype(self.dtype)
+        y = conv1(x)
         y = InstanceNorm2d(self.channels, name="in1")(y)
         y = nn.elu(y)
         y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
-        y = nn.Conv(
-            self.channels, k, kernel_dilation=d, padding="SAME", use_bias=False,
-            dtype=self.dtype, name="conv2",
-        )(y)
+        y = conv2(y)
         y = InstanceNorm2d(self.channels, name="in2")(y)
-        return nn.elu(x.astype(jnp.float32) + y)
+        out = nn.elu(x.astype(jnp.float32) + y)
+        return out if self.dtype is None else out.astype(self.dtype)
+
+
+class _InStats(nn.Module):
+    """InstanceNorm2d with the statistics/apply steps split, for the
+    row-chunked ResNet path: stats are computed once over the FULL raw conv
+    output (exact global (H, W) normalization), the affine application is
+    then fused into each chunk's read."""
+
+    channels: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, y_raw):
+        yf = y_raw.astype(jnp.float32)
+        mean = jnp.mean(yf, axis=(1, 2), keepdims=True)
+        var = jnp.var(yf, axis=(1, 2), keepdims=True)
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        inv = scale / jnp.sqrt(var + self.eps)  # (B,1,1,C)
+        shift = bias - mean * inv
+
+        def apply(t):
+            return t.astype(jnp.float32) * inv + shift
+
+        return apply
+
+
+def _conv_rows(conv, x, dilation: int, chunk: int, pre=None):
+    """Apply a 3x3 (dilated) SAME conv row-chunked with an exact halo of
+    `dilation` rows; `pre` is an elementwise fn (IN apply + activation) fused
+    into each chunk's read. Results are exactly equal to conv(pre(x))."""
+    H = x.shape[1]
+    outs = []
+    for i0 in range(0, H, chunk):
+        i1 = min(i0 + chunk, H)
+        lo, hi = max(0, i0 - dilation), min(H, i1 + dilation)
+        xs = x[:, lo:hi]
+        if pre is not None:
+            xs = pre(xs)
+        xs = xs.astype(x.dtype) if pre is not None else xs
+        y = conv(xs)
+        outs.append(y[:, i0 - lo: i0 - lo + (i1 - i0)])
+    return jnp.concatenate(outs, axis=1)
 
 
 class ResNet(nn.Module):
     """1x1 in-proj + IN + ELU; n blocks with dilation cycling; 1x1 out-proj
-    (resnet.py:47-83). Input/output NHWC."""
+    (resnet.py:47-83). Input/output NHWC.
+
+    row_chunk: long-sequence inference mode — convolutions run row-chunked
+    with exact dilation halos and InstanceNorm statistics computed globally
+    over the full raw conv output, so results equal the unchunked path while
+    per-op temporaries shrink from O(L^2 C) to O(chunk * L * C). (At L=2048
+    the unchunked head's conv temps are 6 x 3 GB and exceed HBM; BENCHMARKS.)
+    Chunked mode requires deterministic=True (inference)."""
 
     n_res_blocks: int
     in_channels: int
@@ -74,6 +145,7 @@ class ResNet(nn.Module):
     dilations: Tuple[int, ...] = (1, 2, 4, 8)
     p_dropout: float = 0.15
     dtype: Any = None
+    row_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -83,6 +155,8 @@ class ResNet(nn.Module):
         )(x)
         x = InstanceNorm2d(self.intermediate_channels, name="in_in")(x)
         x = nn.elu(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i in range(self.n_res_blocks):
             x = ResBlock2D(
                 self.intermediate_channels,
@@ -90,6 +164,7 @@ class ResNet(nn.Module):
                 dilation=self.dilations[i % len(self.dilations)],
                 p_dropout=self.p_dropout,
                 dtype=self.dtype,
+                row_chunk=self.row_chunk,
                 name=f"block_{i}",
             )(x, deterministic=deterministic)
         return nn.Conv(self.out_channels, (1, 1), name="proj_out")(x)

@@ -43,6 +43,7 @@ class TwoTrackBlock(nn.Module):
     performer_dim_head: int = 64
     attn_impl: str = "xla"
     long_chunk: int = None
+    conv_chunk: int = None  # row-chunked pair convs (long-L inference)
     dtype: Any = None
 
     @nn.compact
@@ -65,6 +66,8 @@ class TwoTrackBlock(nn.Module):
             d_pair=self.d_pair,
             n_heads=12,
             long_chunk=self.long_chunk,
+            attn_impl=self.attn_impl,
+            row_chunk=self.conv_chunk,
             dtype=self.dtype,
             name="pair_update_with_msa",
         )(msa, pair, att, deterministic=deterministic)
@@ -111,6 +114,7 @@ class ThreeTrackBlock(nn.Module):
     se3_impl: str = "dense"
     knn_exclude_self: bool = True
     long_chunk: int = None
+    conv_chunk: int = None
     dtype: Any = None
 
     @nn.compact
@@ -125,6 +129,7 @@ class ThreeTrackBlock(nn.Module):
             performer_dim_head=self.performer_dim_head,
             attn_impl=self.attn_impl,
             long_chunk=self.long_chunk,
+            conv_chunk=self.conv_chunk,
             dtype=self.dtype,
             name="two_track",
         )(msa, pair, deterministic=deterministic)
@@ -175,6 +180,7 @@ class FinalBlock(nn.Module):
     se3_impl: str = "dense"
     knn_exclude_self: bool = True
     long_chunk: int = None
+    conv_chunk: int = None
     dtype: Any = None
 
     @nn.compact
@@ -188,6 +194,7 @@ class FinalBlock(nn.Module):
             performer_dim_head=self.performer_dim_head,
             attn_impl=self.attn_impl,
             long_chunk=self.long_chunk,
+            conv_chunk=self.conv_chunk,
             dtype=self.dtype,
             name="two_track",
         )(msa, pair, deterministic=deterministic)
@@ -223,6 +230,7 @@ class _ScannedTwoTrack(nn.Module):
     performer_dim_head: int
     attn_impl: str
     long_chunk: Any
+    conv_chunk: Any
     dtype: Any
     deterministic: bool
     shard_pair_flag: bool
@@ -239,6 +247,7 @@ class _ScannedTwoTrack(nn.Module):
             performer_dim_head=self.performer_dim_head,
             attn_impl=self.attn_impl,
             long_chunk=self.long_chunk,
+            conv_chunk=self.conv_chunk,
             dtype=self.dtype,
             name="block",
         )(msa, pair, self.deterministic)
@@ -267,6 +276,7 @@ class _ScannedThreeTrack(nn.Module):
     se3_impl: str
     knn_exclude_self: bool
     long_chunk: Any
+    conv_chunk: Any
     dtype: Any
     deterministic: bool
     shard_pair_flag: bool
@@ -289,6 +299,7 @@ class _ScannedThreeTrack(nn.Module):
             se3_impl=self.se3_impl,
             knn_exclude_self=self.knn_exclude_self,
             long_chunk=self.long_chunk,
+            conv_chunk=self.conv_chunk,
             dtype=self.dtype,
             name="block",
         )(msa, pair, xyz, seq_onehot, aa_idx, self.deterministic, k_dynamic=k)
@@ -362,6 +373,10 @@ class RoseTTAFold(nn.Module):
         )(seq, aa_idx, template, deterministic=deterministic)
 
         seq_onehot = jax.nn.one_hot(seq, cfg.d_input, dtype=msa_emb.dtype)
+        if dtype is not None:
+            # bf16 pair residual stream (profiles/l1024_r3: the f32 stream is
+            # ~1.1 s/forward of elementwise traffic at L=1024)
+            pair = pair.astype(dtype)
         pair = shard_pair(pair)
 
         x = msa_emb
@@ -382,6 +397,7 @@ class RoseTTAFold(nn.Module):
                 cfg.performer.dim_head,
                 cfg.attn_impl,
                 cfg.long_chunk,
+                cfg.head_chunk,
                 dtype,
                 deterministic,
                 cfg.shard_pair,
@@ -399,6 +415,7 @@ class RoseTTAFold(nn.Module):
                     performer_dim_head=cfg.performer.dim_head,
                     attn_impl=cfg.attn_impl,
                     long_chunk=cfg.long_chunk,
+                    conv_chunk=cfg.head_chunk,
                     dtype=dtype,
                     name=f"two_track_{i}",
                 )(x, pair, deterministic)
@@ -442,6 +459,7 @@ class RoseTTAFold(nn.Module):
                 cfg.se3_impl,
                 cfg.knn_exclude_self,
                 cfg.long_chunk,
+                cfg.head_chunk,
                 dtype,
                 deterministic,
                 cfg.shard_pair,
@@ -465,6 +483,7 @@ class RoseTTAFold(nn.Module):
                     se3_impl=cfg.se3_impl,
                     knn_exclude_self=cfg.knn_exclude_self,
                     long_chunk=cfg.long_chunk,
+                    conv_chunk=cfg.head_chunk,
                     dtype=dtype,
                     name=f"three_track_{i}",
                 )(x, pair, xyz, seq_onehot, aa_idx, deterministic)
@@ -485,6 +504,7 @@ class RoseTTAFold(nn.Module):
             se3_impl=cfg.se3_impl,
             knn_exclude_self=cfg.knn_exclude_self,
             long_chunk=cfg.long_chunk,
+            conv_chunk=cfg.head_chunk,
             dtype=dtype,
             name="final_block",
         )(x, pair, xyz, seq_onehot, aa_idx, deterministic)
@@ -494,6 +514,7 @@ class RoseTTAFold(nn.Module):
             n_res_blocks=4,
             p_dropout=cfg.p_dropout,
             dtype=dtype,
+            row_chunk=cfg.head_chunk,
             name="prediction_head",
         )(pair, deterministic)
 

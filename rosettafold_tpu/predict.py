@@ -54,6 +54,7 @@ def predict(
         cfg = RoseTTAFoldConfig(
             max_len=max(260, L), compute_dtype="bfloat16", attn_impl="pallas",
             scan_blocks=True, se3_impl="dense" if L <= 384 else "scatter",
+            head_chunk=512 if L > 1024 else None,
         )
     else:
         cfg = RoseTTAFoldConfig(max_len=max(260, L))

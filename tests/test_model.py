@@ -203,3 +203,37 @@ def test_dynamic_k_matches_static_gather():
         )
         ea, eb = edge_set(ia, va), edge_set(ib, vb)
         assert (ea == eb).all(), (k_small, k_max, int((ea != eb).sum()))
+
+
+def test_resnet_row_chunked_matches_unchunked():
+    """The row-chunked ResNet (exact conv halos + global IN stats) must equal
+    the unchunked path: same params, dilations spanning chunk boundaries."""
+    import numpy as np
+
+    from rosettafold_tpu.models.resnet import ResNet
+
+    B, H, W, C = 1, 24, 24, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C))
+    full = ResNet(4, C, C, 10, dilations=(1, 2, 4, 8))
+    chunked = ResNet(4, C, C, 10, dilations=(1, 2, 4, 8), row_chunk=7)
+    p = full.init(jax.random.PRNGKey(1), x)
+    a = jax.jit(lambda p, x: full.apply(p, x))(p, x)
+    b = jax.jit(lambda p, x: chunked.apply(p, x))(p, x)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+def test_prediction_head_row_chunked_matches():
+    import numpy as np
+
+    from rosettafold_tpu.models.heads import PredictionHead
+
+    B, L, C = 1, 20, 12
+    pair = jax.random.normal(jax.random.PRNGKey(2), (B, L, L, C))
+    full = PredictionHead(in_channels=C, n_res_blocks=2)
+    chunked = PredictionHead(in_channels=C, n_res_blocks=2, row_chunk=6)
+    p = full.init(jax.random.PRNGKey(3), pair)
+    a = jax.jit(lambda p, x: full.apply(p, x))(p, pair)
+    b = jax.jit(lambda p, x: chunked.apply(p, x))(p, pair)
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(b[k]), np.asarray(a[k]), atol=2e-5, err_msg=k)

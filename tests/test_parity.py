@@ -608,7 +608,10 @@ def test_full_model_parity_config1_chaos_envelope(ref, trng):
     d = dict(d_msa=384, d_pair=288, d_node=64, d_edge=64, d_state=32)
     n_two, n_three, n_enc = 3, 4, 4
     n_neighbors = (128, 128, 64, 64, 64)
-    b, n, l, max_len = 1, 8, 128, 5000
+    # b=4 matches the conditions of test_full_model_parity_config1 (the max
+    # over 4x samples matters: chaotic deviation is heavy-tailed; measured
+    # b=1 1-ulp logits envelope is ~5.5e-5, b=4 is ~1.6e-4)
+    b, n, l, max_len = 4, 8, 128, 5000
 
     m = ref.RoseTTAFold(
         d_input=21, n_two_track_blocks=n_two, n_three_track_blocks=n_three,
@@ -637,7 +640,7 @@ def test_full_model_parity_config1_chaos_envelope(ref, trng):
 
     for sub in m.modules():
         if isinstance(sub, (torch.nn.Linear, torch.nn.Conv2d,
-                            torch.nn.LayerNorm)):
+                            torch.nn.LayerNorm, torch.nn.InstanceNorm2d)):
             hooks.append(sub.register_forward_hook(_noise))
     try:
         with torch.no_grad():

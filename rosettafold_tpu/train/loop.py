@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RoseTTAFoldConfig
-from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..parallel.mesh import make_mesh, replicated, shard_batch, shard_params
 from . import checkpoint as ckpt
 from .step import TrainState, create_train_state, make_train_step
 
@@ -34,13 +34,15 @@ def fit(
     log_every: int = 50,
     n_devices: Optional[int] = None,
     sp: int = 1,
+    tp: int = 1,
     accum_steps: int = 1,
     moment_dtype: str = "float32",
     log_fn=print,
 ) -> TrainState:
     """Run `steps` optimizer updates; returns the final TrainState."""
     rng = jax.random.PRNGKey(seed)
-    mesh = make_mesh(n_devices, sp=sp) if (n_devices and n_devices > 1) else None
+    mesh = (make_mesh(n_devices, sp=sp, tp=tp)
+            if (n_devices and n_devices > 1) else None)
 
     def to_model_batch(raw):
         b = {k: jnp.asarray(v) for k, v in raw.items()}
@@ -57,7 +59,13 @@ def fit(
             start_step = int(state.step)
             log_fn(f"resumed from step {start_step}")
         if mesh is not None:
-            state = jax.device_put(state, replicated(mesh))
+            if tp > 1:
+                # Megatron layout: attention/FF kernels shard over 'tp' (the
+                # optax moment trees mirror the param structure, so the same
+                # name-matched rule lays them out identically)
+                state = shard_params(state, mesh)
+            else:
+                state = jax.device_put(state, replicated(mesh))
 
         step_fn = make_train_step(config, donate=True)
         t0 = time.perf_counter()

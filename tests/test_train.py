@@ -178,3 +178,35 @@ def test_loss_ignores_padding():
         np.testing.assert_allclose(
             float(base_metrics[k]), float(padded_metrics[k]), rtol=1e-6, err_msg=k
         )
+
+
+def test_tp_param_sharding_rules():
+    """to_q/fc1 kernels shard their output axis over 'tp', to_out/fc2 their
+    input axis; non-divisible or unmatched leaves stay replicated; scanned
+    (stacked) leaves get the leading None padding."""
+    from jax.sharding import PartitionSpec as P
+
+    from rosettafold_tpu.parallel.mesh import make_mesh, param_shardings
+
+    mesh = make_mesh(8, sp=2, tp=2)
+    tree = {
+        "attn": {
+            "to_q": {"kernel": jnp.zeros((24, 16)), "bias": jnp.zeros((16,))},
+            "to_out": {"kernel": jnp.zeros((16, 24)), "bias": jnp.zeros((24,))},
+        },
+        "ff": {
+            "fc1": {"kernel": jnp.zeros((3, 24, 96))},   # scanned (stacked)
+            "fc2": {"kernel": jnp.zeros((3, 96, 24))},
+        },
+        "odd": {"to_v": {"kernel": jnp.zeros((24, 7))}},  # 7 % 2 != 0
+        "ln": {"scale": jnp.zeros((24,))},
+    }
+    sh = param_shardings(tree, mesh)
+    assert sh["attn"]["to_q"]["kernel"].spec == P(None, "tp")
+    assert sh["attn"]["to_q"]["bias"].spec == P("tp")
+    assert sh["attn"]["to_out"]["kernel"].spec == P("tp", None)
+    assert sh["attn"]["to_out"]["bias"].spec == P()
+    assert sh["ff"]["fc1"]["kernel"].spec == P(None, None, "tp")
+    assert sh["ff"]["fc2"]["kernel"].spec == P(None, "tp", None)
+    assert sh["odd"]["to_v"]["kernel"].spec == P()
+    assert sh["ln"]["scale"].spec == P()

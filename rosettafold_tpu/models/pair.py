@@ -121,10 +121,10 @@ class PairUpdateWithMsa(nn.Module):
             impl=self.attn_impl, dtype=self.dtype,
             name="outer_product_mean",
         )(m, m * w)
-        coevol = nn.LayerNorm(epsilon=1e-5, name="ln_coevol_feat")(coevol)
+        ln_coevol = nn.LayerNorm(epsilon=1e-5, name="ln_coevol_feat")
+        ln_pair = nn.LayerNorm(epsilon=1e-5, name="ln_pair")
 
         msa_1d = jnp.concatenate([jnp.sum(m, axis=1), m[:, 0]], axis=-1)  # (B, L, 2p)
-        pair_ln = nn.LayerNorm(epsilon=1e-5, name="ln_pair")(pair)
 
         # resnet_in applied WITHOUT materializing the (B, L, L, 716) feature
         # concat (6 GB bf16 at L=2048): Dense(concat(parts)) decomposes into a
@@ -149,37 +149,58 @@ class PairUpdateWithMsa(nn.Module):
         w_att = kern[o:]
         row_proj = msa_1d.astype(ct) @ w_row  # (B, L, d_pair)
         col_proj = msa_1d.astype(ct) @ w_col
-        x = (
-            coevol.astype(ct) @ w_coevol
-            + pair_ln.astype(ct) @ w_pair
-            + att.astype(ct) @ w_att
-            + row_proj[:, :, None, :]
-            + col_proj[:, None, :, :]
-            + bias.astype(ct)
-        )
+
+        def x_rows(lo, hi):
+            """Rows [lo, hi) of the decomposed resnet_in output; the
+            row-chunked path builds x from these chunk-by-chunk so the f32
+            LN temporaries stay O(chunk * L * d_pair)."""
+            return (
+                ln_coevol(coevol[:, lo:hi]).astype(ct) @ w_coevol
+                + ln_pair(pair[:, lo:hi]).astype(ct) @ w_pair
+                + att[:, lo:hi].astype(ct) @ w_att
+                + row_proj[:, lo:hi, None, :]
+                + col_proj[:, None, :, :]
+                + bias.astype(ct)
+            )
 
         conv1 = nn.Conv(self.d_pair, (3, 3), padding="SAME", use_bias=False,
                         dtype=self.dtype, name="conv1")
         conv2 = nn.Conv(self.d_pair, (3, 3), padding="SAME", use_bias=False,
                         dtype=self.dtype, name="conv2")
+        # Residual adds run in f32, but the pair STREAM between blocks stays
+        # in the compute dtype: at L=1024 the f32 stream cost ~1.1 s of
+        # elementwise loop fusions per forward (profiles/l1024_r3/ANALYSIS.md);
+        # bf16 halves that traffic. LN/IN statistics remain f32 throughout.
         if self.row_chunk is not None and L > self.row_chunk and deterministic:
             c = self.row_chunk
+            # Materialize x ONCE, built chunk-by-chunk (per-chunk f32 LN
+            # temps only) — recomputing x_rows per conv sweep was measured
+            # WORSE at L=2048: it keeps coevol+pair (2 x 3 GB) alive through
+            # every sweep, while one x buffer (3 GB) lets both inputs die
+            # here (OOM breakdown in BENCHMARKS.md).
+            x = jnp.zeros((pair.shape[0], L, L, self.d_pair), ct)
+            for i0 in range(0, L, c):
+                i1 = min(i0 + c, L)
+                x = x.at[:, i0:i1].set(x_rows(i0, i1).astype(ct))
             y1 = _conv_rows(conv1, x, 1, c)
             in1 = _InStats(self.d_pair, name="in1")(y1)
             pre1 = lambda t: nn.elu(in1(t))
             y2 = _conv_rows(conv2, y1, 1, c, pre=pre1)
-            y = _InStats(self.d_pair, name="in2")(y2)(y2)
-        else:
-            y = conv1(x)
-            y = InstanceNorm2d(self.d_pair, name="in1")(y)
-            y = nn.elu(y)
-            y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
-            y = conv2(y)
-            y = InstanceNorm2d(self.d_pair, name="in2")(y)
-        # Residual add in f32, but the pair STREAM between blocks stays in the
-        # compute dtype: at L=1024 the f32 stream cost ~1.1 s of elementwise
-        # loop fusions per forward (profiles/l1024_r3/ANALYSIS.md); bf16
-        # halves that traffic. LN/IN statistics remain f32 throughout.
+            in2 = _InStats(self.d_pair, name="in2")(y2)
+            out = jnp.zeros(y2.shape, self.dtype or jnp.float32)
+            for i0 in range(0, L, c):
+                i1 = min(i0 + c, L)
+                o = nn.elu(x[:, i0:i1].astype(jnp.float32)
+                           + in2(y2[:, i0:i1]))
+                out = out.at[:, i0:i1].set(o.astype(out.dtype))
+            return out
+        x = x_rows(0, L)
+        y = conv1(x)
+        y = InstanceNorm2d(self.d_pair, name="in1")(y)
+        y = nn.elu(y)
+        y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+        y = conv2(y)
+        y = InstanceNorm2d(self.d_pair, name="in2")(y)
         out = nn.elu(x.astype(jnp.float32) + y)
         return out if self.dtype is None else out.astype(self.dtype)
 
@@ -200,6 +221,10 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
     performer_dim_head: int = 64
     attn_impl: str = "xla"
     long_chunk: int = None
+    # row-chunk the pre-LN FF residual at inference: the fc1 hidden is the
+    # single biggest HLO temp at long L ((L, L, 4*d_pair) bf16 = 9 GB at
+    # L=2048); the FF is pointwise over pairs so chunking is exact, no halo.
+    ff_chunk: int = None
     dtype: Any = None
 
     @nn.compact
@@ -241,10 +266,19 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, name="ln_col")(x)
         x = x + col_attn(y, deterministic=deterministic)
 
-        y = nn.LayerNorm(epsilon=1e-5, name="ln_ff")(x)
-        y = FeedForward(self.d_pair, self.d_ff, self.p_dropout, dtype=self.dtype,
-                        name="ff")(y, deterministic=deterministic)
-        return x + y
+        ln_ff = nn.LayerNorm(epsilon=1e-5, name="ln_ff")
+        ff = FeedForward(self.d_pair, self.d_ff, self.p_dropout, dtype=self.dtype,
+                         name="ff")
+        L = x.shape[1]
+        if self.ff_chunk is not None and L > self.ff_chunk and deterministic:
+            c = self.ff_chunk
+            out = jnp.zeros(x.shape, x.dtype)
+            for i in range(0, L, c):
+                o = x[:, i: i + c] + ff(ln_ff(x[:, i: i + c]),
+                                        deterministic=True)
+                out = out.at[:, i: i + c].set(o.astype(x.dtype))
+            return out
+        return x + ff(ln_ff(x), deterministic=deterministic)
 
 
 class PairUpdateWithAxialAttention(nn.Module):
@@ -259,6 +293,7 @@ class PairUpdateWithAxialAttention(nn.Module):
     performer_dim_head: int = 64
     attn_impl: str = "xla"
     long_chunk: int = None
+    ff_chunk: int = None
     dtype: Any = None
 
     @nn.compact
@@ -273,6 +308,7 @@ class PairUpdateWithAxialAttention(nn.Module):
                 performer_dim_head=self.performer_dim_head,
                 attn_impl=self.attn_impl,
                 long_chunk=self.long_chunk,
+                ff_chunk=self.ff_chunk,
                 dtype=self.dtype,
                 name=f"layer_{i}",
             )(x, deterministic=deterministic)

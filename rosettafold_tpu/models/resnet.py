@@ -72,8 +72,17 @@ class ResBlock2D(nn.Module):
             pre1 = lambda t: nn.elu(in1(t))
             y2 = _conv_rows(conv2, y1, self.dilation, c, pre=pre1)
             in2 = _InStats(self.channels, name="in2")(y2)
-            out = nn.elu(x.astype(jnp.float32) + in2(y2))
-            return out if self.dtype is None else out.astype(self.dtype)
+            # residual+ELU row-chunked too: the full-tensor f32 add was the
+            # single largest HBM temp at L=2048 (4.5 GB; OOM report in
+            # BENCHMARKS.md) — per-chunk f32 math, bf16 out buffer
+            out_dt = self.dtype or jnp.float32
+            out = jnp.zeros(y2.shape, out_dt)
+            H = x.shape[1]
+            for i0 in range(0, H, c):
+                i1 = min(i0 + c, H)
+                o = nn.elu(x[:, i0:i1].astype(jnp.float32) + in2(y2[:, i0:i1]))
+                out = out.at[:, i0:i1].set(o.astype(out_dt))
+            return out
         y = conv1(x)
         y = InstanceNorm2d(self.channels, name="in1")(y)
         y = nn.elu(y)
@@ -113,18 +122,22 @@ def _conv_rows(conv, x, dilation: int, chunk: int, pre=None):
     """Apply a 3x3 (dilated) SAME conv row-chunked with an exact halo of
     `dilation` rows; `pre` is an elementwise fn (IN apply + activation) fused
     into each chunk's read. Results are exactly equal to conv(pre(x))."""
-    H = x.shape[1]
-    outs = []
+    H, dt = x.shape[1], x.dtype
+    # accumulate via in-place dynamic-update-slices, NOT concatenate: XLA
+    # keeps every chunk buffer alive until a concat (3 x 1.5 GB of 2.7x-padded
+    # temps at L=2048), while .at[].set chains alias one output buffer
+    out = None
     for i0 in range(0, H, chunk):
         i1 = min(i0 + chunk, H)
         lo, hi = max(0, i0 - dilation), min(H, i1 + dilation)
         xs = x[:, lo:hi]
         if pre is not None:
-            xs = pre(xs)
-        xs = xs.astype(x.dtype) if pre is not None else xs
-        y = conv(xs)
-        outs.append(y[:, i0 - lo: i0 - lo + (i1 - i0)])
-    return jnp.concatenate(outs, axis=1)
+            xs = pre(xs).astype(dt)
+        y = conv(xs)[:, i0 - lo: i0 - lo + (i1 - i0)]
+        if out is None:
+            out = jnp.zeros((y.shape[0], H) + y.shape[2:], y.dtype)
+        out = out.at[:, i0:i1].set(y)
+    return out
 
 
 class ResNet(nn.Module):
@@ -153,10 +166,22 @@ class ResNet(nn.Module):
             self.intermediate_channels, (1, 1), use_bias=False, dtype=self.dtype,
             name="proj_in",
         )(x)
-        x = InstanceNorm2d(self.intermediate_channels, name="in_in")(x)
-        x = nn.elu(x)
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
+        if self.row_chunk is not None and x.shape[1] > self.row_chunk:
+            # chunked IN apply + ELU: same stats/apply split as the blocks, so
+            # no full-tensor f32 materialization after proj_in (param tree is
+            # identical — _InStats and InstanceNorm2d share scale/bias names)
+            in_in = _InStats(self.intermediate_channels, name="in_in")(x)
+            out_dt = self.dtype or jnp.float32
+            y = jnp.zeros(x.shape, out_dt)
+            for i0 in range(0, x.shape[1], self.row_chunk):
+                i1 = min(i0 + self.row_chunk, x.shape[1])
+                y = y.at[:, i0:i1].set(nn.elu(in_in(x[:, i0:i1])).astype(out_dt))
+            x = y
+        else:
+            x = InstanceNorm2d(self.intermediate_channels, name="in_in")(x)
+            x = nn.elu(x)
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
         for i in range(self.n_res_blocks):
             x = ResBlock2D(
                 self.intermediate_channels,

@@ -81,6 +81,7 @@ class TwoTrackBlock(nn.Module):
             performer_dim_head=self.performer_dim_head,
             attn_impl=self.attn_impl,
             long_chunk=self.long_chunk,
+            ff_chunk=self.conv_chunk,
             dtype=self.dtype,
             name="pair_update_with_axial_attention",
         )(pair, deterministic=deterministic)

@@ -97,3 +97,19 @@ def test_pair_update_with_msa_row_chunked_matches():
     a = japply(full, p, msa, pair, att)
     b = japply(chunked, p, msa, pair, att)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5)
+
+
+def test_axial_layer_ff_chunked_matches():
+    """Row-chunked pre-LN FF residual == unchunked (pointwise, no halo)."""
+    from rosettafold_tpu.models.pair import PairUpdateWithAxialAttentionLayer
+
+    B, L, d = 1, 20, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, L, L, d))
+    full = PairUpdateWithAxialAttentionLayer(d_pair=d, d_ff=4 * d, n_heads=4,
+                                             performer_dim_head=8)
+    chunked = PairUpdateWithAxialAttentionLayer(d_pair=d, d_ff=4 * d, n_heads=4,
+                                                performer_dim_head=8, ff_chunk=6)
+    p = jinit(full, jax.random.PRNGKey(1), x)
+    a = japply(full, p, x)
+    b = japply(chunked, p, x)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)

@@ -244,6 +244,26 @@ def bench_conv_head(L, dtype, C=288, bins=37):
     return dict(sec=sec, flops=flops, bytes=bytes_)
 
 
+def bench_conv_pallas(L, dtype, C=288, tile=8, dilation=1, with_pre=True):
+    """The fused shifted-GEMM conv kernel on the same shapes as conv3x3_head,
+    including the fused IN-affine+ELU pre-op it replaces."""
+    from rosettafold_tpu.ops.pallas.conv3x3 import conv3x3_fused
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(ks[0], (1, L, L, C)).astype(dtype)
+    w = (jax.random.normal(ks[1], (3, 3, C, C)) * 0.02).astype(dtype)
+    inv = jax.random.normal(ks[2], (1, C)) * 0.1 + 1.0
+    pre = (inv, jnp.zeros((1, C))) if with_pre else None
+
+    def step(x, w):
+        return conv3x3_fused(x, w, pre, dilation, dtype, tile)
+
+    sec = _time(step, x, w, reps=5, iters=5)
+    flops = 2 * L * L * 9 * C * C
+    bytes_ = (L * L * C * 4) * x.dtype.itemsize + 9 * C * C * x.dtype.itemsize
+    return dict(sec=sec, flops=flops, bytes=bytes_)
+
+
 def bench_se3_block(L, dtype, K=64):
     """One GSE3Res layer on gathered (L, S) neighborhoods at model dims."""
     from rosettafold_tpu.models import se3 as jse3
@@ -301,6 +321,7 @@ FAMILIES = {
     "outer_product": bench_outer_product,
     "fused_opm": bench_fused_opm,
     "conv3x3_head": bench_conv_head,
+    "conv3x3_pallas": bench_conv_pallas,
     "se3_gse3res": bench_se3_block,
 }
 

@@ -28,6 +28,7 @@ class PredictionHead(nn.Module):
     p_dropout: float = 0.1
     dtype: Any = None
     row_chunk: Optional[int] = None
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, pair, deterministic: bool = True):
@@ -44,6 +45,7 @@ class PredictionHead(nn.Module):
                 p_dropout=self.p_dropout,
                 dtype=self.dtype,
                 row_chunk=self.row_chunk,
+                conv_impl=self.conv_impl,
                 name=name,
             )
 

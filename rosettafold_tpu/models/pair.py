@@ -100,6 +100,8 @@ class PairUpdateWithMsa(nn.Module):
     # stats, models/resnet.py) — at L=2048 the unchunked conv temporaries
     # are 2 x 3 GB (BENCHMARKS.md)
     row_chunk: int = None
+    # attn_impl == "pallas" engages the fused conv kernel from this L up
+    conv_fused_min_l: int = 256
     dtype: Any = None
 
     @nn.compact
@@ -171,6 +173,52 @@ class PairUpdateWithMsa(nn.Module):
         # in the compute dtype: at L=1024 the f32 stream cost ~1.1 s of
         # elementwise loop fusions per forward (profiles/l1024_r3/ANALYSIS.md);
         # bf16 halves that traffic. LN/IN statistics remain f32 throughout.
+        if (self.attn_impl == "pallas" and L >= self.conv_fused_min_l
+                and L % 8 == 0):
+            # fused shifted-GEMM conv kernel (2.2x over the XLA conv at
+            # L=1024; same O(tile * L) working set as the row-chunked path,
+            # so it also serves the L >= 2048 memory regime)
+            from ..ops.pallas.conv3x3 import conv3x3_fused
+
+            _ = conv1(jnp.zeros((1, 8, 8, self.d_pair), ct))
+            _ = conv2(jnp.zeros((1, 8, 8, self.d_pair), ct))
+            k1 = conv1.variables["params"]["kernel"]
+            k2 = conv2.variables["params"]["kernel"]
+            if self.row_chunk is not None and L > self.row_chunk:
+                x = jnp.zeros((pair.shape[0], L, L, self.d_pair), ct)
+                for i0 in range(0, L, self.row_chunk):
+                    i1 = min(i0 + self.row_chunk, L)
+                    x = x.at[:, i0:i1].set(x_rows(i0, i1).astype(ct))
+            else:
+                x = x_rows(0, L).astype(ct)
+            y1 = conv3x3_fused(x, k1, None, 1, ct, 8)
+            inv1, shift1 = _InStats(self.d_pair, name="in1",
+                                    return_affine=True)(y1)
+            if deterministic:
+                y2 = conv3x3_fused(y1, k2, (inv1, shift1), 1, ct, 8)
+            else:
+                a = nn.elu(y1.astype(jnp.float32) * inv1[:, None, None, :]
+                           + shift1[:, None, None, :])
+                a = nn.Dropout(self.p_dropout)(a, deterministic=False)
+                y2 = conv3x3_fused(a.astype(ct), k2, None, 1, ct, 8)
+            inv2, shift2 = _InStats(self.d_pair, name="in2",
+                                    return_affine=True)(y2)
+            out_dt = self.dtype or jnp.float32
+            c = self.row_chunk
+            if c is not None and L > c:
+                out = jnp.zeros(y2.shape, out_dt)
+                for i0 in range(0, L, c):
+                    i1 = min(i0 + c, L)
+                    o = nn.elu(x[:, i0:i1].astype(jnp.float32)
+                               + y2[:, i0:i1].astype(jnp.float32)
+                               * inv2[:, None, None, :]
+                               + shift2[:, None, None, :])
+                    out = out.at[:, i0:i1].set(o.astype(out_dt))
+                return out
+            out = nn.elu(x.astype(jnp.float32)
+                         + y2.astype(jnp.float32) * inv2[:, None, None, :]
+                         + shift2[:, None, None, :])
+            return out.astype(out_dt)
         if self.row_chunk is not None and L > self.row_chunk and deterministic:
             c = self.row_chunk
             # Materialize x ONCE, built chunk-by-chunk (per-chunk f32 LN

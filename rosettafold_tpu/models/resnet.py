@@ -51,6 +51,10 @@ class ResBlock2D(nn.Module):
     p_dropout: float = 0.15
     dtype: Any = None
     row_chunk: Optional[int] = None
+    # "pallas": fused shifted-GEMM conv kernel (ops/pallas/conv3x3.py) for
+    # H >= fused_min_l — 2.2x over the XLA conv at L=1024 (BENCHMARKS.md)
+    conv_impl: str = "xla"
+    fused_min_l: int = 256
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -64,6 +68,48 @@ class ResBlock2D(nn.Module):
             self.channels, k, kernel_dilation=d, padding="SAME", use_bias=False,
             dtype=self.dtype, name="conv2",
         )
+        H = x.shape[1]
+        if (self.conv_impl == "pallas" and self.kernel_size == 3
+                and H >= self.fused_min_l and H % 8 == 0 and self.dilation <= 8):
+            from ..ops.pallas.conv3x3 import conv3x3_fused
+
+            cdt = self.dtype or jnp.float32
+            # bind the convs on dummies (DCE'd) to create/read their params
+            _ = conv1(jnp.zeros((1, 8, 8, self.channels), x.dtype))
+            _ = conv2(jnp.zeros((1, 8, 8, self.channels), x.dtype))
+            k1 = conv1.variables["params"]["kernel"]
+            k2 = conv2.variables["params"]["kernel"]
+            y1 = conv3x3_fused(x.astype(cdt), k1, None, self.dilation, cdt, 8)
+            in1 = _InStats(self.channels, name="in1", return_affine=True)
+            inv1, shift1 = in1(y1)
+            if deterministic:
+                # IN-affine + ELU fused into the conv2 read (VMEM only)
+                y2 = conv3x3_fused(y1, k2, (inv1, shift1), self.dilation,
+                                   cdt, 8)
+            else:
+                a = nn.elu(y1.astype(jnp.float32) * inv1[:, None, None, :]
+                           + shift1[:, None, None, :])
+                a = nn.Dropout(self.p_dropout)(a, deterministic=False)
+                y2 = conv3x3_fused(a.astype(cdt), k2, None, self.dilation,
+                                   cdt, 8)
+            in2 = _InStats(self.channels, name="in2", return_affine=True)
+            inv2, shift2 = in2(y2)
+            out_dt = self.dtype or jnp.float32
+            c = self.row_chunk
+            if c is not None and H > c:
+                out = jnp.zeros(y2.shape, out_dt)
+                for i0 in range(0, H, c):
+                    i1 = min(i0 + c, H)
+                    o = nn.elu(x[:, i0:i1].astype(jnp.float32)
+                               + y2[:, i0:i1].astype(jnp.float32)
+                               * inv2[:, None, None, :]
+                               + shift2[:, None, None, :])
+                    out = out.at[:, i0:i1].set(o.astype(out_dt))
+                return out
+            out = nn.elu(x.astype(jnp.float32)
+                         + y2.astype(jnp.float32) * inv2[:, None, None, :]
+                         + shift2[:, None, None, :])
+            return out.astype(out_dt)
         if self.row_chunk is not None and x.shape[1] > self.row_chunk:
             assert deterministic, "row-chunked ResBlock2D is an inference path"
             c = self.row_chunk
@@ -101,6 +147,9 @@ class _InStats(nn.Module):
 
     channels: int
     eps: float = 1e-6
+    # True: return the (inv, shift) affine pair as (B, C) arrays instead of
+    # the apply closure (the fused Pallas conv folds them into its read)
+    return_affine: bool = False
 
     @nn.compact
     def __call__(self, y_raw):
@@ -111,6 +160,8 @@ class _InStats(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
         inv = scale / jnp.sqrt(var + self.eps)  # (B,1,1,C)
         shift = bias - mean * inv
+        if self.return_affine:
+            return inv[:, 0, 0, :], shift[:, 0, 0, :]
 
         def apply(t):
             return t.astype(jnp.float32) * inv + shift
@@ -159,6 +210,7 @@ class ResNet(nn.Module):
     p_dropout: float = 0.15
     dtype: Any = None
     row_chunk: Optional[int] = None
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -190,6 +242,7 @@ class ResNet(nn.Module):
                 p_dropout=self.p_dropout,
                 dtype=self.dtype,
                 row_chunk=self.row_chunk,
+                conv_impl=self.conv_impl,
                 name=f"block_{i}",
             )(x, deterministic=deterministic)
         return nn.Conv(self.out_channels, (1, 1), name="proj_out")(x)

@@ -516,6 +516,7 @@ class RoseTTAFold(nn.Module):
             p_dropout=cfg.p_dropout,
             dtype=dtype,
             row_chunk=cfg.head_chunk,
+            conv_impl=cfg.attn_impl,
             name="prediction_head",
         )(pair, deterministic)
 

@@ -264,7 +264,7 @@ def bench_conv_pallas(L, dtype, C=288, tile=8, dilation=1, with_pre=True):
     return dict(sec=sec, flops=flops, bytes=bytes_)
 
 
-def bench_se3_block(L, dtype, K=64):
+def bench_se3_block(L, dtype, K=64, impl="xla"):
     """One GSE3Res layer on gathered (L, S) neighborhoods at model dims."""
     from rosettafold_tpu.models import se3 as jse3
 
@@ -272,7 +272,7 @@ def bench_se3_block(L, dtype, K=64):
     B = 1
     f_in = jse3.Fiber({0: 64, 1: 3})
     f_mid = jse3.Fiber(num_degrees=2, num_channels=16)
-    mod = jse3.GSE3Res(f_in, f_mid, edge_dim=64, div=4, n_heads=4)
+    mod = jse3.GSE3Res(f_in, f_mid, edge_dim=64, div=4, n_heads=4, impl=impl)
 
     ks = jax.random.split(jax.random.PRNGKey(0), 5)
     h = {0: jax.random.normal(ks[0], (B, L, 64, 1)),
@@ -323,6 +323,7 @@ FAMILIES = {
     "conv3x3_head": bench_conv_head,
     "conv3x3_pallas": bench_conv_pallas,
     "se3_gse3res": bench_se3_block,
+    "se3_gse3res_pallas": lambda L, dtype: bench_se3_block(L, dtype, impl="pallas"),
 }
 
 

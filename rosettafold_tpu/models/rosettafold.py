@@ -145,6 +145,7 @@ class ThreeTrackBlock(nn.Module):
             p_dropout=self.p_dropout,
             se3_impl=self.se3_impl,
             knn_exclude_self=self.knn_exclude_self,
+            attn_impl=self.attn_impl,
             name="coord_update_with_msa_and_pair",
         )(xyz, msa, pair, aa_idx, seq_onehot, deterministic=deterministic,
           k_dynamic=k_dynamic)
@@ -210,6 +211,7 @@ class FinalBlock(nn.Module):
             p_dropout=self.p_dropout,
             se3_impl=self.se3_impl,
             knn_exclude_self=self.knn_exclude_self,
+            attn_impl=self.attn_impl,
             name="coord_update_with_msa_and_pair",
         )(xyz, msa, pair, aa_idx, seq_onehot, deterministic=deterministic)
 

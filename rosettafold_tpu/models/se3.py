@@ -492,6 +492,10 @@ class GSE3Res(nn.Module):
     skip: str = "cat"
     selfint: str = "1x1"
     x_ij: str = None
+    # "pallas": fused edge-last kernel for the V/K partial convs + attention
+    # (ops/pallas/se3_attend.py) on the dense/gather layouts; falls back to
+    # the XLA einsum path for scatter (dst_idx) and x_ij modes.
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, h: Features, edge_feat, basis, mask, h_src: Features = None,
@@ -503,19 +507,52 @@ class GSE3Res(nn.Module):
 
         src_major = dst_idx is not None
         src = h_src if h_src is not None else h
-        v = GConvSE3Partial(self.f_in, f_mid_out, self.edge_dim,
-                            src_major=src_major, x_ij=self.x_ij, name="v")(
-            src, edge_feat, basis, rel_pos=rel_pos
+        fused = (
+            self.impl == "pallas"
+            and dst_idx is None
+            and self.x_ij is None
+            and mask is not None
+            and self.f_in.degrees == (0, 1)
+            and f_mid_out.degrees == (0, 1)
+            and f_mid_in.degrees == (0, 1)
         )
-        k = GConvSE3Partial(self.f_in, f_mid_in, self.edge_dim,
-                            src_major=src_major, x_ij=self.x_ij, name="k")(
-            src, edge_feat, basis, rel_pos=rel_pos
-        )
+        v_mod = GConvSE3Partial(self.f_in, f_mid_out, self.edge_dim,
+                                src_major=src_major, x_ij=self.x_ij, name="v")
+        k_mod = GConvSE3Partial(self.f_in, f_mid_in, self.edge_dim,
+                                src_major=src_major, x_ij=self.x_ij, name="k")
         q = G1x1SE3(self.f_in, f_mid_in, name="q")(h)
 
-        z = GMABSE3(f_mid_out, f_mid_in, self.n_heads, name="attn")(
-            v, k, q, mask, dst_idx=dst_idx
-        )
+        if fused:
+            from ..ops.pallas import se3_attend
+
+            # bind v/k on tiny dummies (DCE'd) to create/read the identical
+            # param trees (same trick as the fused conv, models/resnet.py)
+            dummy_h = {d: jnp.zeros((1, 1, 1, m, 2 * d + 1))
+                       for d, m in self.f_in.dict.items()}
+            dummy_feat = jnp.zeros((1, 1, 1, self.edge_dim + 1))
+            dummy_basis = {
+                f"{di},{do}": jnp.zeros(
+                    (1, 1, 1, 2 * do + 1, 2 * di + 1, 2 * min(di, do) + 1))
+                for di in self.f_in.degrees for do in (0, 1)
+            }
+            _ = v_mod(dummy_h, dummy_feat, dummy_basis)
+            _ = k_mod(dummy_h, dummy_feat, dummy_basis)
+            meta = se3_attend.build_meta(
+                self.f_in.dict, f_mid_out.dict, f_mid_in.dict,
+                self.n_heads, self.edge_dim)
+            stacked = se3_attend.stack_weights(
+                v_mod.variables["params"], k_mod.variables["params"], meta)
+            qh = fiber2head(q, self.n_heads, f_mid_in)
+            qh = qh.reshape(*qh.shape[:2], -1)  # (B, J, H*ck)
+            dense = h[0].ndim == 4 and h_src is None
+            z = se3_attend.gse3_attend(
+                edge_feat, basis, src, mask, qh, stacked, meta, dense)
+        else:
+            v = v_mod(src, edge_feat, basis, rel_pos=rel_pos)
+            k = k_mod(src, edge_feat, basis, rel_pos=rel_pos)
+            z = GMABSE3(f_mid_out, f_mid_in, self.n_heads, name="attn")(
+                v, k, q, mask, dst_idx=dst_idx
+            )
 
         if self.skip == "cat":
             # GCat semantics (reference modules.py:903-928): concat only degrees
@@ -573,6 +610,7 @@ class SE3Transformer(nn.Module):
     l1_out_features: int = 3
     num_edge_features: int = 32
     x_ij: str = None  # 'cat'/'add' relative-position injection (public surface)
+    impl: str = "xla"  # "pallas": fused se3_attend kernel in every GSE3Res
 
     @nn.compact
     def __call__(self, h0, h1, edge_feat, rel_pos, mask, src_idx=None,
@@ -598,6 +636,10 @@ class SE3Transformer(nn.Module):
 
         h = {0: h0.astype(jnp.float32), 1: h1.astype(jnp.float32)}
         fin = f_in
+        # fused kernel engaged on the dense layout only: measured 15% faster
+        # there, but slower than XLA through the gather path (per-layer plane
+        # transposes dominate; BENCHMARKS.md "SE(3) fused kernel")
+        impl = self.impl if (src_idx is None and dst_idx is None) else "xla"
         for i in range(self.num_layers):
             h = GSE3Res(
                 fin,
@@ -608,6 +650,7 @@ class SE3Transformer(nn.Module):
                 skip="cat",
                 selfint=self.si_m,
                 x_ij=self.x_ij,
+                impl=impl,
                 name=f"res_{i}",
             )(h, feat, basis, mask, h_src=gather_src(h), dst_idx=dst_idx,
               rel_pos=rel_pos)
@@ -622,6 +665,7 @@ class SE3Transformer(nn.Module):
             skip="cat",
             selfint=self.si_e,
             x_ij=self.x_ij,
+            impl=impl,
             name="res_out",
         )(h, feat, basis, mask, h_src=gather_src(h), dst_idx=dst_idx,
           rel_pos=rel_pos)

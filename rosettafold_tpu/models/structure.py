@@ -162,6 +162,9 @@ class CoordUpdateWithMsaAndPair(nn.Module):
     # False = reference-exact compat (self edges kept when top-k spans all nodes,
     # rosettafold_pytorch.py:844-847); True = the repo's equivariance-safe default.
     knn_exclude_self: bool = True
+    # "pallas": fused SE(3) attention kernel (ops/pallas/se3_attend.py) for
+    # the dense/gather layouts; scatter keeps the XLA segment-op path.
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, xyz, msa, pair, aa_idx, seq_onehot, *,
@@ -227,6 +230,7 @@ class CoordUpdateWithMsaAndPair(nn.Module):
             l0_out_features=self.d_state,
             l1_out_features=3,
             num_edge_features=self.d_edge,
+            impl=self.attn_impl,
             name="se3",
         )(h0, h1, edge_w, rel_pos, mask, src_idx=src_idx, dst_idx=dst_idx)
 

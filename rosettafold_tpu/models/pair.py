@@ -173,13 +173,16 @@ class PairUpdateWithMsa(nn.Module):
         # in the compute dtype: at L=1024 the f32 stream cost ~1.1 s of
         # elementwise loop fusions per forward (profiles/l1024_r3/ANALYSIS.md);
         # bf16 halves that traffic. LN/IN statistics remain f32 throughout.
-        if (self.attn_impl == "pallas" and L >= self.conv_fused_min_l
-                and L % 8 == 0):
+        tile = None
+        if self.attn_impl == "pallas" and L >= self.conv_fused_min_l:
             # fused shifted-GEMM conv kernel (2.2x over the XLA conv at
-            # L=1024; same O(tile * L) working set as the row-chunked path,
-            # so it also serves the L >= 2048 memory regime)
-            from ..ops.pallas.conv3x3 import conv3x3_fused
+            # L=1024; pick_tile shrinks the row tile until the working set
+            # fits VMEM so the L >= 2048 regime uses tile=4)
+            from ..ops.pallas.conv3x3 import conv3x3_fused, pick_tile
 
+            tile = pick_tile(L, L, self.d_pair, self.d_pair, 1,
+                             jnp.dtype(ct).itemsize)
+        if tile is not None:
             _ = conv1(jnp.zeros((1, 8, 8, self.d_pair), ct))
             _ = conv2(jnp.zeros((1, 8, 8, self.d_pair), ct))
             k1 = conv1.variables["params"]["kernel"]
@@ -191,16 +194,16 @@ class PairUpdateWithMsa(nn.Module):
                     x = x.at[:, i0:i1].set(x_rows(i0, i1).astype(ct))
             else:
                 x = x_rows(0, L).astype(ct)
-            y1 = conv3x3_fused(x, k1, None, 1, ct, 8)
+            y1 = conv3x3_fused(x, k1, None, 1, ct, tile)
             inv1, shift1 = _InStats(self.d_pair, name="in1",
                                     return_affine=True)(y1)
             if deterministic:
-                y2 = conv3x3_fused(y1, k2, (inv1, shift1), 1, ct, 8)
+                y2 = conv3x3_fused(y1, k2, (inv1, shift1), 1, ct, tile)
             else:
                 a = nn.elu(y1.astype(jnp.float32) * inv1[:, None, None, :]
                            + shift1[:, None, None, :])
                 a = nn.Dropout(self.p_dropout)(a, deterministic=False)
-                y2 = conv3x3_fused(a.astype(ct), k2, None, 1, ct, 8)
+                y2 = conv3x3_fused(a.astype(ct), k2, None, 1, ct, tile)
             inv2, shift2 = _InStats(self.d_pair, name="in2",
                                     return_affine=True)(y2)
             out_dt = self.dtype or jnp.float32

@@ -69,29 +69,35 @@ class ResBlock2D(nn.Module):
             dtype=self.dtype, name="conv2",
         )
         H = x.shape[1]
+        cdt = self.dtype or jnp.float32
+        tile = None
         if (self.conv_impl == "pallas" and self.kernel_size == 3
-                and H >= self.fused_min_l and H % 8 == 0 and self.dilation <= 8):
-            from ..ops.pallas.conv3x3 import conv3x3_fused
+                and H >= self.fused_min_l):
+            from ..ops.pallas.conv3x3 import conv3x3_fused, pick_tile
 
-            cdt = self.dtype or jnp.float32
+            # None when no row-tile fits VMEM (e.g. dilation-8 at L=2048):
+            # fall through to the XLA paths below
+            tile = pick_tile(H, x.shape[2], self.channels, self.channels,
+                             self.dilation, jnp.dtype(cdt).itemsize)
+        if tile is not None:
             # bind the convs on dummies (DCE'd) to create/read their params
             _ = conv1(jnp.zeros((1, 8, 8, self.channels), x.dtype))
             _ = conv2(jnp.zeros((1, 8, 8, self.channels), x.dtype))
             k1 = conv1.variables["params"]["kernel"]
             k2 = conv2.variables["params"]["kernel"]
-            y1 = conv3x3_fused(x.astype(cdt), k1, None, self.dilation, cdt, 8)
+            y1 = conv3x3_fused(x.astype(cdt), k1, None, self.dilation, cdt, tile)
             in1 = _InStats(self.channels, name="in1", return_affine=True)
             inv1, shift1 = in1(y1)
             if deterministic:
                 # IN-affine + ELU fused into the conv2 read (VMEM only)
                 y2 = conv3x3_fused(y1, k2, (inv1, shift1), self.dilation,
-                                   cdt, 8)
+                                   cdt, tile)
             else:
                 a = nn.elu(y1.astype(jnp.float32) * inv1[:, None, None, :]
                            + shift1[:, None, None, :])
                 a = nn.Dropout(self.p_dropout)(a, deterministic=False)
                 y2 = conv3x3_fused(a.astype(cdt), k2, None, self.dilation,
-                                   cdt, 8)
+                                   cdt, tile)
             in2 = _InStats(self.channels, name="in2", return_affine=True)
             inv2, shift2 = in2(y2)
             out_dt = self.dtype or jnp.float32

@@ -83,6 +83,30 @@ def _interpret():
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def pick_tile(H, W, C, Co, dilation, itemsize, has_pre=True,
+              budget=100 * 1024 * 1024):
+    """Largest row-tile T in (8, 4, 2) whose kernel working set fits VMEM,
+    or None when none does (caller falls back to the XLA conv — e.g. the
+    dilation-8 head-tower blocks at L=2048, where the (T+2d) halo rows of a
+    full-width f32 slab exceed the ~128 MB VMEM alone)."""
+    for T in (8, 4, 2):
+        if H % T or dilation > T:
+            continue
+        d = dilation
+        est = (
+            3 * T * W * C * itemsize * 2          # in blocks, double-buffered
+            + T * W * Co * itemsize * 2           # out block, double-buffered
+            + (T + 2 * d) * W * C * 4             # f32 cat (pre-op / cast)
+            + (T + 2 * d) * (W + 2 * d) * C * itemsize   # padded xsp
+            + T * W * Co * 4                      # f32 accumulator
+            + T * W * C * itemsize                # shifted-view transient
+            + 9 * C * Co * itemsize               # weights
+        )
+        if est <= budget:
+            return T
+    return None
+
+
 def _forward(x, w, pre, dilation, out_dtype, tile):
     B, H, Wd, C = x.shape
     Co = w.shape[-1]

@@ -14,9 +14,11 @@ from ..ops import performer as favor
 # the jitted graph at trace time, so a late env change could never take effect
 # anyway; prefer the fused_favor_min_l module attribute for programmatic
 # control). Measured crossover (BENCHMARKS.md, round 3): the fully fused
-# layer kernel (ops/pallas/fused_performer.py) beats XLA from L=512 up
-# (1.24x at 512, 1.6x at 1024) and is the only feasible path at L >= 2048.
-DEFAULT_FUSED_FAVOR_MIN_L = int(os.environ.get("RFTPU_FUSED_FAVOR_MIN_L", "512"))
+# layer kernel (ops/pallas/fused_performer.py) beats XLA from L=128 up —
+# in-context at the L=128 headline config the XLA path's per-head
+# (B, L, L, h, dh) maps and their layout copies cost ~8% of the whole
+# forward (profiles/l128_r3) — and it is the only feasible path at L >= 2048.
+DEFAULT_FUSED_FAVOR_MIN_L = int(os.environ.get("RFTPU_FUSED_FAVOR_MIN_L", "128"))
 
 
 class FeedForward(nn.Module):
@@ -90,9 +92,10 @@ class PerformerSelfAttention(nn.Module):
         # FAVOR+, and the output projection entirely in VMEM — no per-head
         # (P, L, dh) HBM transposes ever exist. Measured on v5e at config-4
         # shapes: 38.9 ms vs 62.6 ms XLA at L=1024 (67 TFLOP/s = 59% of the
-        # measured ceiling); crossover at L=512. At L >= 2048 the XLA path's
-        # phi maps (~21 GB) exceed HBM and the kernel is the only feasible
-        # path. Tune via fused_favor_min_l / RFTPU_FUSED_FAVOR_MIN_L.
+        # measured ceiling); in-context crossover at L=128 (headline bench
+        # 185.7k -> 201.7k pairs/s). At L >= 2048 the XLA path's phi maps
+        # (~21 GB) exceed HBM and the kernel is the only feasible path.
+        # Tune via fused_favor_min_l / RFTPU_FUSED_FAVOR_MIN_L.
         min_l = (
             self.fused_favor_min_l
             if self.fused_favor_min_l is not None

@@ -67,10 +67,18 @@ class PerformerSelfAttention(nn.Module):
     # L at/above which attn_impl="pallas" actually uses the fused kernel
     # (None = DEFAULT_FUSED_FAVOR_MIN_L, i.e. RFTPU_FUSED_FAVOR_MIN_L at import)
     fused_favor_min_l: Optional[int] = None
+    # -2 (default): attend over the second-to-last axis. 1: attend over axis 1
+    # of a 4D (B, L1, L2, D) input — the RowWise axial step — with the
+    # transpose folded into the fused kernel's strided block reads (no
+    # swapaxes HBM round trip; falls back to swapaxes off the fused path).
+    attend_axis: int = -2
     dtype: Any = None  # compute dtype for projections/feature matmuls
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        assert self.attend_axis in (-2, 1)
+        if self.attend_axis == 1:
+            assert x.ndim == 4
         inner = self.heads * self.dim_head
         m = self.nb_features or favor.default_nb_features(self.dim_head)
         # Fixed (untrained) random-feature projection, embedded as a constant.
@@ -101,13 +109,17 @@ class PerformerSelfAttention(nn.Module):
             if self.fused_favor_min_l is not None
             else DEFAULT_FUSED_FAVOR_MIN_L
         )
+        attended_len = x.shape[self.attend_axis if self.attend_axis == 1 else -2]
         use_fused = (
             self.attn_impl == "pallas"
             and self.generalized_attention
-            and x.shape[-2] >= min_l
+            and attended_len >= min_l
         )
         if use_fused:
-            from ..ops.pallas.fused_performer import fused_performer_layer
+            from ..ops.pallas.fused_performer import (
+                fused_performer_layer,
+                fused_performer_layer_axis1,
+            )
 
             cdt = self.dtype or x.dtype
             # Bind the projection submodules on dummy inputs (results unused
@@ -122,13 +134,32 @@ class PerformerSelfAttention(nn.Module):
             wv = to_v.variables["params"]["kernel"].astype(cdt)
             wo = to_out.variables["params"]["kernel"].astype(cdt)
             bo = to_out.variables["params"]["bias"].astype(cdt)
-            lead, L = x.shape[:-2], x.shape[-2]
+            # Strided axis-1 reads measured 1.03x at L=128 but 0.93-0.96x at
+            # L>=512 (the in-VMEM (L, 8, D)->(8, L, D) relayout + short-burst
+            # DMA outweigh the saved swapaxes round trip at long L).
+            if (self.attend_axis == 1 and x.shape[1] % 128 == 0
+                    and x.shape[2] % 8 == 0 and x.shape[1] <= 256):
+                # RowWise without the HBM transpose: strided block reads
+                out = fused_performer_layer_axis1(
+                    x.astype(cdt), wq, wk, wv, wo, bo,
+                    projection, self.dim_head**-0.25, self.kernel_eps,
+                    self.heads, self.dim_head,
+                )
+                return nn.Dropout(self.p_dropout)(out,
+                                                  deterministic=deterministic)
+            xr = jnp.swapaxes(x, 1, 2) if self.attend_axis == 1 else x
+            lead, L = xr.shape[:-2], xr.shape[-2]
             out = fused_performer_layer(
-                x.astype(cdt).reshape(-1, L, self.dim), wq, wk, wv, wo, bo,
+                xr.astype(cdt).reshape(-1, L, self.dim), wq, wk, wv, wo, bo,
                 projection, self.dim_head**-0.25, self.kernel_eps,
                 self.heads, self.dim_head,
             ).reshape(*lead, L, self.dim)
+            if self.attend_axis == 1:
+                out = jnp.swapaxes(out, 1, 2)
             return nn.Dropout(self.p_dropout)(out, deterministic=deterministic)
+
+        if self.attend_axis == 1:
+            x = jnp.swapaxes(x, 1, 2)  # XLA fallback: explicit transpose
 
         def block(xc):
             q, k, v = split_heads(to_q(xc)), split_heads(to_k(xc)), split_heads(to_v(xc))
@@ -153,4 +184,6 @@ class PerformerSelfAttention(nn.Module):
             out = jnp.concatenate(outs, axis=-3)
         else:
             out = block(x)
+        if self.attend_axis == 1:
+            out = jnp.swapaxes(out, 1, 2)
         return nn.Dropout(self.p_dropout)(out, deterministic=deterministic)

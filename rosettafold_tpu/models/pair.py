@@ -291,6 +291,7 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
             feature_seed=self.feature_seed,
             chunk_rows=self.long_chunk,
             attn_impl=self.attn_impl,
+            attend_axis=1,  # RowWise; fused path reads strided, no swapaxes
             dtype=self.dtype,
             name="row_attn",
         )
@@ -308,10 +309,11 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
         )
 
         # RowWise (reference :44-54): attend over axis 1 (i) for each fixed j.
+        # attend_axis=1 keeps the (B, i, j, d) layout end to end; on the fused
+        # path the kernel reads/writes strided blocks and the swapaxes pair
+        # (a full HBM round trip of the pair map each way) never exists.
         y = nn.LayerNorm(epsilon=1e-5, name="ln_row")(x)
-        y = jnp.swapaxes(y, 1, 2)  # (B, j, i, d)
-        y = row_attn(y, deterministic=deterministic)
-        x = x + jnp.swapaxes(y, 1, 2)
+        x = x + row_attn(y, deterministic=deterministic)
 
         # ColWise: attend over axis 2 (j) for each fixed i.
         y = nn.LayerNorm(epsilon=1e-5, name="ln_col")(x)

@@ -767,3 +767,22 @@ def g_max_pooling(feats: Features, node_mask=None) -> jnp.ndarray:
     if node_mask is not None:
         v = jnp.where(node_mask[:, :, None], v, -jnp.inf)
     return jnp.max(v, axis=1)
+
+
+class ScalarActivation(nn.Module):
+    """Scalar-field activation with optional learned bias (reference
+    ScalarActivation3rdDim, utils_steerable.py:317-347): for (B, N, s) scalar
+    fields, x -> activation(x + bias). Unused by the RoseTTAFold model (the
+    reference keeps it as library surface); provided for parity."""
+
+    n_dim: int
+    activation: callable = jax.nn.relu
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert x.ndim == 3, "scalar fields are (B, N, s)"
+        if self.use_bias and self.n_dim > 0:
+            bias = self.param("bias", nn.initializers.zeros, (self.n_dim,))
+            x = x + bias[None, None, :]
+        return self.activation(x)

@@ -49,19 +49,49 @@ def _row_iota(L):
 
 def _fwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, p_ref,
                 o_ref, *, heads, dim_head, scale, kernel_eps, l_valid):
+    TR, L, D = x_ref.shape           # TR row-problems per program
+    out = _layer_math(
+        x_ref[...].reshape(TR * L, D), TR, L,
+        wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, p_ref,
+        heads=heads, dim_head=dim_head, scale=scale,
+        kernel_eps=kernel_eps, l_valid=l_valid)
+    o_ref[...] = out.reshape(TR, L, D).astype(o_ref.dtype)
+
+
+def _fwd_kernel_t(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, p_ref,
+                  o_ref, *, heads, dim_head, scale, kernel_eps, l_valid):
+    """Transposed-read variant: the block is (1, L, TR, D) strided straight out
+    of the untransposed (B, L1, L2, D) pair tensor — the explicit swapaxes HBM
+    round trip (one full read+write of the 0.6 GB pair map at L=1024, each way)
+    never happens; the DMA engine does the stride work."""
+    _, L, TR, D = x_ref.shape
+    x = jnp.swapaxes(x_ref[0], 0, 1)           # (TR, L, D) in VMEM
+    out = _layer_math(
+        x.reshape(TR * L, D), TR, L,
+        wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, p_ref,
+        heads=heads, dim_head=dim_head, scale=scale,
+        kernel_eps=kernel_eps, l_valid=l_valid)
+    o_ref[0] = jnp.swapaxes(out.reshape(TR, L, D), 0, 1).astype(o_ref.dtype)
+
+
+def _layer_math(x, TR, L, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, p_ref, *,
+                heads, dim_head, scale, kernel_eps, l_valid):
     f32 = jnp.float32
-    x = x_ref[0]                     # (L, D)
-    L = x.shape[0]
+    D = x.shape[-1]
     cdt = x.dtype                    # compute dtype for MXU inputs (bf16/f32)
     proj_t = p_ref[...].T.astype(cdt)  # (dh, m)
 
+    # Projections and phi maps run over all TR row-problems in one GEMM
+    # (M = TR*L): at small L this amortizes the MXU pipeline ramp and the
+    # per-program grid overhead that capped the kernel at ~46% of ceiling
+    # for L=128 (BENCHMARKS.md).
     q = (jax.lax.dot(x, wq_ref[...], preferred_element_type=f32)
-         * scale).astype(cdt)        # (L, H*dh)
+         * scale).astype(cdt)        # (TR*L, H*dh)
     k = (jax.lax.dot(x, wk_ref[...], preferred_element_type=f32)
          * scale).astype(cdt)
     v = jax.lax.dot(x, wv_ref[...], preferred_element_type=f32).astype(cdt)
 
-    valid = (_row_iota(L) < l_valid)  # (L, 1)
+    valid = (_row_iota(TR * L) % L < l_valid)  # (TR*L, 1)
 
     att_parts = []
     for h in range(heads):
@@ -69,23 +99,29 @@ def _fwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, p_ref,
         qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
         phi_q = (jax.nn.relu(
             jax.lax.dot(qh, proj_t, preferred_element_type=f32))
-            + kernel_eps).astype(cdt)                        # (L, m)
+            + kernel_eps).astype(cdt)                        # (TR*L, m)
         phi_k = jax.nn.relu(
             jax.lax.dot(kh, proj_t, preferred_element_type=f32)) + kernel_eps
         phi_k = jnp.where(valid, phi_k, 0.0).astype(cdt)     # zero padded rows
+        m = phi_q.shape[-1]
+        pq3 = phi_q.reshape(TR, L, m)
+        pk3 = phi_k.reshape(TR, L, m)
+        v3 = vh.reshape(TR, L, dim_head)
         ctx = jax.lax.dot_general(
-            phi_k, vh, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)                      # (m, dh)
-        ksum = jnp.sum(phi_k.astype(f32), axis=0, keepdims=True)  # (1, m)
+            pk3, v3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)                      # (TR, m, dh)
+        ksum = jnp.sum(pk3.astype(f32), axis=1, keepdims=True)  # (TR, 1, m)
         # VPU reduction: the (L,m)x(1,m) contraction trips a Mosaic
         # verification bug as a bf16 dot, and it is bandwidth-trivial anyway
-        den = jnp.sum(phi_q.astype(f32) * ksum, axis=1, keepdims=True)
-        num = jax.lax.dot(phi_q, ctx.astype(cdt),
-                          preferred_element_type=f32)        # (L, dh)
-        att_parts.append(num / jnp.maximum(den, 1e-12))
-    att = jnp.concatenate(att_parts, axis=-1).astype(cdt)    # (L, H*dh)
+        den = jnp.sum(pq3.astype(f32) * ksum, axis=2, keepdims=True)
+        num = jax.lax.dot_general(
+            pq3, ctx.astype(cdt), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)                      # (TR, L, dh)
+        att_parts.append(
+            (num / jnp.maximum(den, 1e-12)).reshape(TR * L, dim_head))
+    att = jnp.concatenate(att_parts, axis=-1).astype(cdt)    # (TR*L, H*dh)
     out = jax.lax.dot(att, wo_ref[...], preferred_element_type=f32)
-    o_ref[0] = (out + bo_ref[...].astype(f32)).astype(o_ref.dtype)
+    return out + bo_ref[...].astype(f32)
 
 
 def _bwd_kernel(x_ref, gy_ref, wq_ref, wk_ref, wv_ref, wo_ref, p_ref,
@@ -198,6 +234,12 @@ def _forward(x, wq, wk, wv, wo, bo, projection, scale, kernel_eps,
              heads, dim_head):
     R, L, D = x.shape
     L_pad = max(128, -(-L // 128) * 128)
+    # Rows per program: stack row-problems until M ~= 512 (measured sweet spot
+    # at L=128 — amortizes grid overhead and MXU pipeline ramp; at L >= 512
+    # one row-problem is already a full-size GEMM and TR=1 keeps VMEM low).
+    TR = max(1, 512 // L_pad)
+    while R % TR:
+        TR //= 2
     xp = _pad_rows(x, L_pad)
     kern = functools.partial(
         _fwd_kernel, heads=heads, dim_head=dim_head, scale=scale,
@@ -207,9 +249,9 @@ def _forward(x, wq, wk, wv, wo, bo, projection, scale, kernel_eps,
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((R, L_pad, D), x.dtype),
-        grid=(R,),
+        grid=(R // TR,),
         in_specs=[
-            pl.BlockSpec((1, L_pad, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TR, L_pad, D), lambda i: (i, 0, 0)),
             pl.BlockSpec((D, hd), lambda i: (0, 0)),
             pl.BlockSpec((D, hd), lambda i: (0, 0)),
             pl.BlockSpec((D, hd), lambda i: (0, 0)),
@@ -217,7 +259,7 @@ def _forward(x, wq, wk, wv, wo, bo, projection, scale, kernel_eps,
             pl.BlockSpec((1, D), lambda i: (0, 0)),
             pl.BlockSpec((m, dim_head), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, L_pad, D), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((TR, L_pad, D), lambda i: (i, 0, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024,
@@ -225,6 +267,78 @@ def _forward(x, wq, wk, wv, wo, bo, projection, scale, kernel_eps,
         interpret=_interpret(),
     )(xp, wq, wk, wv, wo, bo.reshape(1, -1), projection)
     return out[:, :L]
+
+
+def _forward_axis1(x, wq, wk, wv, wo, bo, projection, scale, kernel_eps,
+                   heads, dim_head):
+    """Attend over axis 1 of (B, L1, L2, D) WITHOUT transposing in HBM:
+    blocks are read (1, L1, TR, D)-strided and transposed in VMEM."""
+    B, L1, L2, D = x.shape
+    # Caller falls back to the swapaxes path otherwise. TR is fixed at 8:
+    # Mosaic requires the second-to-last block dim to be a multiple of 8,
+    # and 8 problems/program keeps VMEM bounded at L1=1024 while giving
+    # M=8*L1 GEMMs.
+    assert L1 % 128 == 0 and L2 % 8 == 0
+    TR = 8
+    kern = functools.partial(
+        _fwd_kernel_t, heads=heads, dim_head=dim_head, scale=scale,
+        kernel_eps=kernel_eps, l_valid=L1)
+    hd = heads * dim_head
+    m = projection.shape[0]
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, L1, L2, D), x.dtype),
+        grid=(B, L2 // TR),
+        in_specs=[
+            pl.BlockSpec((1, L1, TR, D), lambda b, j: (b, 0, j, 0)),
+            pl.BlockSpec((D, hd), lambda b, j: (0, 0)),
+            pl.BlockSpec((D, hd), lambda b, j: (0, 0)),
+            pl.BlockSpec((D, hd), lambda b, j: (0, 0)),
+            pl.BlockSpec((hd, D), lambda b, j: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, j: (0, 0)),
+            pl.BlockSpec((m, dim_head), lambda b, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, L1, TR, D), lambda b, j: (b, 0, j, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(x, wq, wk, wv, wo, bo.reshape(1, -1), projection)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_performer_layer_axis1(x, wq, wk, wv, wo, bo, projection,
+                                scale, kernel_eps, heads, dim_head):
+    """fused_performer_layer attending over axis 1 of a (B, L1, L2, D) pair
+    tensor (the RowWise axial step, reference rosettafold_pytorch.py:44-54,
+    501-513) with the transpose folded into the kernel's strided DMA.
+    Requires L1 % 128 == 0 (the caller falls back to swapaxes otherwise)."""
+    return _forward_axis1(x, wq, wk, wv, wo, bo, projection,
+                          scale, kernel_eps, heads, dim_head)
+
+
+def _fwd_rule_axis1(x, wq, wk, wv, wo, bo, projection, scale, kernel_eps,
+                    heads, dim_head):
+    out = _forward_axis1(x, wq, wk, wv, wo, bo, projection,
+                         scale, kernel_eps, heads, dim_head)
+    return out, (x, wq, wk, wv, wo, projection)
+
+
+def _bwd_rule_axis1(scale, kernel_eps, heads, dim_head, res, gy):
+    # Training path: transpose once and reuse the (R, L, D) fused backward —
+    # the forward's no-transpose trick is an inference win; backward keeps
+    # the straightforward layout.
+    x, wq, wk, wv, wo, projection = res
+    B, L1, L2, D = x.shape
+    xt = jnp.swapaxes(x, 1, 2).reshape(B * L2, L1, D)
+    gyt = jnp.swapaxes(gy, 1, 2).reshape(B * L2, L1, D)
+    dxt, dwq, dwk, dwv, dwo, dbo, dproj = _backward(
+        xt, gyt, wq, wk, wv, wo, projection, scale, kernel_eps,
+        heads, dim_head)
+    dx = jnp.swapaxes(dxt.reshape(B, L2, L1, D), 1, 2)
+    return dx, dwq, dwk, dwv, dwo, dbo, dproj
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
@@ -251,6 +365,12 @@ def _fwd_rule(x, wq, wk, wv, wo, bo, projection, scale, kernel_eps,
 
 def _bwd_rule(scale, kernel_eps, heads, dim_head, res, gy):
     x, wq, wk, wv, wo, projection = res
+    return _backward(x, gy, wq, wk, wv, wo, projection,
+                     scale, kernel_eps, heads, dim_head)
+
+
+def _backward(x, gy, wq, wk, wv, wo, projection,
+              scale, kernel_eps, heads, dim_head):
     R, L, D = x.shape
     L_pad = max(128, -(-L // 128) * 128)
     xp, gyp = _pad_rows(x, L_pad), _pad_rows(gy.astype(x.dtype), L_pad)
@@ -297,6 +417,7 @@ def _bwd_rule(scale, kernel_eps, heads, dim_head, res, gy):
 
 
 fused_performer_layer.defvjp(_fwd_rule, _bwd_rule)
+fused_performer_layer_axis1.defvjp(_fwd_rule_axis1, _bwd_rule_axis1)
 
 
 def xla_reference(x, wq, wk, wv, wo, bo, projection, scale, kernel_eps,

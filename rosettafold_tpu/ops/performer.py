@@ -123,7 +123,24 @@ def generalized_kernel_features(
 
 
 def linear_attention(q_feat: jnp.ndarray, k_feat: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Non-causal linear attention. q_feat/k_feat (..., L, m), v (..., L, e)."""
+    """Non-causal linear attention. q_feat/k_feat (..., L, m), v (..., L, e).
+
+    When the attended axis is short (L(m+e) < 2me — e.g. the MSA sequence-wise
+    attention over N=8 homologs, reference rosettafold_pytorch.py:357-409), the
+    QUADRATIC association (phi_q phi_k^T) v is used instead of phi_q (phi_k^T v):
+    mathematically identical by associativity, fewer FLOPs, and it never builds
+    the (..., m, e) context tensor — which at B*L row-problems is the single
+    largest HBM tensor of the whole forward (~0.5 GB/call at L=1024; measured
+    bandwidth-bound at ~4 TFLOP/s on v5e, profiles/l128_r3)."""
+    L, m = q_feat.shape[-2], q_feat.shape[-1]
+    e = v.shape[-1]
+    if L * (m + e) < 2 * m * e:
+        a = jnp.einsum("...lm,...km->...lk", q_feat, k_feat,
+                       preferred_element_type=jnp.float32)     # (..., L, L)
+        d_inv = 1.0 / (jnp.sum(a, axis=-1) + 1e-12)
+        out = jnp.einsum("...lk,...ke->...le", a.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        return (out * d_inv[..., None]).astype(v.dtype)
     k_sum = jnp.sum(k_feat.astype(jnp.float32), axis=-2)  # (..., m)
     d_inv = 1.0 / (
         jnp.einsum(

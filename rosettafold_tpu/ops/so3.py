@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Dict
+from typing import Dict, Tuple
 
 import numpy as np
 import jax
@@ -150,6 +150,70 @@ def compose_np(a1, b1, c1, a2, b2, c2):
 
 def _kron(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.kron(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Change-of-basis helpers (reference SO3.py:146-195). Unused by the RoseTTAFold
+# model itself but part of the SO(3) library surface; each intertwiner is
+# verified against this module's own irr_repr/rot at random angles, exactly as
+# the reference's inline asserts do.
+# ---------------------------------------------------------------------------
+
+
+def _assert_intertwines(order: int, A: np.ndarray, rep_fn, rng: np.random.Generator):
+    for _ in range(10):
+        a, b, c = rng.uniform(0.0, 2.0 * math.pi, size=3)
+        lhs = irr_repr_np(order, a, b, c) @ A
+        rhs = A @ rep_fn(a, b, c)
+        assert np.allclose(lhs, rhs, atol=1e-10), (order, np.abs(lhs - rhs).max())
+
+
+@functools.lru_cache(maxsize=1)
+def xyz_vector_basis_to_spherical_basis() -> np.ndarray:
+    """Basis change A with irr_repr(1,a,b,c) @ A == A @ rot(a,b,c): converts an
+    [x, y, z] vector into one transforming under the degree-1 irrep (reference
+    SO3.py:146-156). float64 (3, 3); intertwining verified at random angles."""
+    A = np.array([[0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    _assert_intertwines(1, A, rot_np, np.random.default_rng(0))
+    return A
+
+
+def tensor3x3_repr_np(a: float, b: float, g: float) -> np.ndarray:
+    """Representation of 3x3 tensors T -> R T R^T as a (9, 9) matrix acting on
+    vec(T) (reference SO3.py:158-164): kron(rot, rot)."""
+    r = rot_np(a, b, g)
+    return _kron(r, r)
+
+
+@functools.lru_cache(maxsize=1)
+def tensor3x3_repr_basis_to_spherical_basis() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Basis changes (to1, to3, to5) decomposing a 3x3 tensor (transforming
+    under tensor3x3_repr) into its 1 + 3 + 5 irreducible components, i.e.
+    irr_repr(l) @ to == to @ tensor3x3_repr for l = 0, 1, 2 (reference
+    SO3.py:167-195). Rows are the trace / antisymmetric / symmetric-traceless
+    projectors in the reference's spherical convention; each is verified."""
+    to1 = np.array([[1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0]])
+    to3 = np.array(
+        [
+            [0, 0, -1.0, 0, 0, 0, 1.0, 0, 0],
+            [0, 1.0, 0, -1.0, 0, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0, 1.0, 0, -1.0, 0],
+        ]
+    )
+    s3 = math.sqrt(3.0) / 3.0
+    to5 = np.array(
+        [
+            [0, 1.0, 0, 1.0, 0, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0, 1.0, 0, 1.0, 0],
+            [-s3, 0, 0, 0, -s3, 0, 0, 0, math.sqrt(12.0) / 3.0],
+            [0, 0, 1.0, 0, 0, 0, 1.0, 0, 0],
+            [1.0, 0, 0, 0, -1.0, 0, 0, 0, 0],
+        ]
+    )
+    rng = np.random.default_rng(0)
+    for order, A in ((0, to1), (1, to3), (2, to5)):
+        _assert_intertwines(order, A, tensor3x3_repr_np, rng)
+    return to1, to3, to5
 
 
 # The same five fixed angle triples the se3cnn lineage uses to pin the kernel

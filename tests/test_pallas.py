@@ -164,3 +164,40 @@ def test_tied_flash_gradients_odd_length():
     f_ref = jax.jit(jax.grad(lambda q, k, v: jnp.sum(_ref_attention(q, k, v) ** 2), (0, 1, 2)))
     for a, b in zip(f_ker(q, k, v), f_ref(q, k, v)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_performer_module_fused_multirow_blocks():
+    """TR > 1 path: at small L the fused layer kernel stacks several
+    row-problems per grid program (R divisible by TR=4 at L_pad=128)."""
+    from rosettafold_tpu.models.attention import PerformerSelfAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 20, 24))
+    xla_mod = PerformerSelfAttention(dim=24, heads=2, dim_head=16,
+                                     generalized_attention=True, nb_features=32)
+    pal_mod = PerformerSelfAttention(dim=24, heads=2, dim_head=16,
+                                     generalized_attention=True, nb_features=32,
+                                     attn_impl="pallas", fused_favor_min_l=1)
+    params = jinit(xla_mod, jax.random.PRNGKey(1), x)
+    out_xla = japply(xla_mod, params, x)
+    out_pal = japply(pal_mod, params, x)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla),
+                               atol=3e-5)
+
+
+def test_linear_attention_quadratic_association_matches():
+    """Short attended axes use (phi_q phi_k^T) v — identical by associativity
+    to the O(L) order (the MSA sequence-wise attention over N=8 homologs)."""
+    from rosettafold_tpu.ops import performer as favor
+
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    L, m, e = 8, 96, 32  # L*(m+e) < 2*m*e -> quadratic path
+    qf = jax.nn.relu(jax.random.normal(ks[0], (5, 4, L, m))) + 1e-3
+    kf = jax.nn.relu(jax.random.normal(ks[1], (5, 4, L, m))) + 1e-3
+    v = jax.random.normal(ks[2], (5, 4, L, e))
+    out = favor.linear_attention(qf, kf, v)
+    # the linear association, inlined
+    ksum = jnp.sum(kf, axis=-2)
+    den = jnp.einsum("...lm,...m->...l", qf, ksum) + 1e-12
+    ctx = jnp.einsum("...lm,...le->...me", kf, v)
+    ref = jnp.einsum("...me,...lm->...le", ctx, qf) / den[..., None]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

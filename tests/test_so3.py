@@ -122,3 +122,52 @@ def test_equivariant_basis_rotates():
         Dout = np.eye(2 * do + 1) if do == 0 else R
         rhs = np.einsum("ab,ebcf,dc->eadf", Dout, np.asarray(b0[key]), Din)
         np.testing.assert_allclose(np.asarray(b1[key]), rhs, atol=3e-3)
+
+
+def test_xyz_vector_basis_change():
+    # reference SO3.py:146-156: irr_repr(1) @ A == A @ rot at random angles
+    A = so3.xyz_vector_basis_to_spherical_basis()
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        a, b, c = rng.uniform(0, 2 * math.pi, 3)
+        assert np.allclose(so3.irr_repr_np(1, a, b, c) @ A,
+                           A @ so3.rot_np(a, b, c), atol=1e-12)
+    assert np.allclose(A @ A.T, np.eye(3))
+
+
+def test_tensor3x3_repr_is_representation():
+    rng = np.random.default_rng(8)
+    a1, b1, c1 = rng.uniform(0, 2 * math.pi, 3)
+    T = rng.normal(size=(3, 3))
+    R = so3.rot_np(a1, b1, c1)
+    # kron(R, R) @ vec(T) == vec(R T R^T) with row-major vec
+    lhs = so3.tensor3x3_repr_np(a1, b1, c1) @ T.reshape(-1)
+    assert np.allclose(lhs, (R @ T @ R.T).reshape(-1), atol=1e-12)
+
+
+def test_tensor3x3_basis_change_decomposes_1_3_5():
+    # reference SO3.py:167-195: the 3x3 tensor rep decomposes into l=0,1,2
+    to1, to3, to5 = so3.tensor3x3_repr_basis_to_spherical_basis()
+    rng = np.random.default_rng(9)
+    for order, A in ((0, to1), (1, to3), (2, to5)):
+        a, b, c = rng.uniform(0, 2 * math.pi, 3)
+        assert np.allclose(so3.irr_repr_np(order, a, b, c) @ A,
+                           A @ so3.tensor3x3_repr_np(a, b, c), atol=1e-10)
+    assert to1.shape == (1, 9) and to3.shape == (3, 9) and to5.shape == (5, 9)
+
+
+def test_scalar_activation_module():
+    # reference ScalarActivation3rdDim (utils_steerable.py:317-347)
+    import jax
+    from rosettafold_tpu.models.se3 import ScalarActivation
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 5, 4)), jnp.float32)
+    mod = ScalarActivation(n_dim=4)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(params, x)
+    assert y.shape == x.shape
+    assert np.allclose(np.asarray(y), np.maximum(np.asarray(x), 0.0))
+    # bias participates: shift the bias, the pre-activation shifts with it
+    shifted = jax.tree_util.tree_map(lambda p: p + 1.0, params)
+    y2 = mod.apply(shifted, x)
+    assert np.allclose(np.asarray(y2), np.maximum(np.asarray(x) + 1.0, 0.0))

@@ -114,6 +114,31 @@ def test_pair_embedding(ref, trng, use_template):
     assert_close(got, want, label="pair_emb")
 
 
+def test_pair_embedding_template_full_width(ref, trng):
+    """Config-3 widths (d_pair=288, d_template=64, L=128): the template path at
+    flagship dims (reference rosettafold_pytorch.py:123-181 defaults). The
+    reference's own top-level forward never feeds PairEmbedding a template
+    (rosettafold_pytorch.py:1277), so module scope IS the full config-3 parity
+    surface; the on-chip forward is benched via BENCH_TEMPLATE=1 bench.py."""
+    Lf, ml = 128, 256
+    m = eval_all(
+        ref.PairEmbedding(21, 288, ml, 0.0, use_template=True, d_template=64)
+    )
+    seq = trng.integers(0, 21, size=(1, Lf))
+    aa = _aa_idx(trng, 1, Lf, ml)
+    template = trng.normal(size=(1, Lf, Lf, 64)).astype(np.float32)
+    want = m(t(seq), t(aa), t(template))
+
+    jm = emb.PairEmbedding(21, 288, ml, 0.0, use_template=True, d_template=64)
+    jt = jnp.asarray(template)
+    params = jm.init(jax.random.PRNGKey(0), jnp.asarray(seq), jnp.asarray(aa), jt)[
+        "params"
+    ]
+    params = import_module_params(m, params, "pair_emb.", "pair_emb")
+    got = jm.apply({"params": params}, jnp.asarray(seq), jnp.asarray(aa), jt)
+    assert_close(got, want, label="pair_emb_template_full_width")
+
+
 # --------------------------------------------------------------------------- #
 # MSA track
 # --------------------------------------------------------------------------- #

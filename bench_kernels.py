@@ -264,42 +264,18 @@ def bench_conv_pallas(L, dtype, C=288, tile=8, dilation=1, with_pre=True):
     return dict(sec=sec, flops=flops, bytes=bytes_)
 
 
-def bench_se3_block(L, dtype, K=64, impl="xla"):
-    """One GSE3Res layer on gathered (L, S) neighborhoods at model dims."""
-    from rosettafold_tpu.models import se3 as jse3
-
-    S = min(K, L) + 16
-    B = 1
-    f_in = jse3.Fiber({0: 64, 1: 3})
-    f_mid = jse3.Fiber(num_degrees=2, num_channels=16)
-    mod = jse3.GSE3Res(f_in, f_mid, edge_dim=64, div=4, n_heads=4, impl=impl)
-
-    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+def _se3_gather_inputs(L, S, B=1):
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
     h = {0: jax.random.normal(ks[0], (B, L, 64, 1)),
          1: jax.random.normal(ks[1], (B, L, 3, 3))}
-    h_src = {0: jax.random.normal(ks[0], (B, L, S, 64, 1)),
-             1: jax.random.normal(ks[1], (B, L, S, 3, 3))}
+    src_idx = jax.random.randint(ks[5], (B, L, S), 0, L)
     rel = jax.random.normal(ks[2], (B, L, S, 3))
     edge = jax.random.normal(ks[3], (B, L, S, 64))
     mask = jnp.ones((B, L, S), bool)
+    return h, src_idx, rel, edge, mask, ks[4]
 
-    from rosettafold_tpu.ops import so3
-    basis = so3.equivariant_basis(rel, 1)
-    feat = jnp.concatenate([edge, so3.edge_radii(rel)], axis=-1)
-    params = mod.init(ks[4], h, feat, basis, mask, h_src=h_src)
 
-    def run(params, h0, h1, feat, basis, mask, hs0, hs1):
-        out = mod.apply(params, {0: h0, 1: h1}, feat, basis, mask,
-                        h_src={0: hs0, 1: hs1})
-        return jnp.sum(out[0]) + jnp.sum(out[1])
-
-    def run_chained(h0, params, h1, feat, basis, mask, hs0, hs1):
-        out = mod.apply(params, {0: h0, 1: h1}, feat, basis, mask,
-                        h_src={0: hs0, 1: hs1})
-        return h0 + 1e-6 * jnp.sum(out[0]) + 0 * jnp.sum(out[1])
-
-    sec = _time(run_chained, h[0], params, h[1], feat, basis, mask,
-                h_src[0], h_src[1], iters=5, reps=60)
+def _se3_flops(L, S, B=1):
     E = B * L * S
     # dominant: radial MLPs (per edge) + basis contractions
     radial = 0
@@ -307,9 +283,58 @@ def bench_se3_block(L, dtype, K=64, impl="xla"):
         for (do, mo) in ((0, 4), (1, 4)):
             nf = 2 * min(di, do) + 1
             radial += 2 * E * (65 * 32 + 32 * 32 + 32 * nf * mi * mo) * 2  # v and k
-    flops = radial
-    bytes_ = E * (64 + 3 * 3 + 65) * 4
+    return radial, E * (64 + 3 * 3 + 65) * 4
+
+
+def bench_se3_block(L, dtype, K=64, impl="xla"):
+    """One GSE3Res layer on gathered (L, S) neighborhoods at model dims
+    (src_idx layout: the fused path gathers node features in plane layout)."""
+    from rosettafold_tpu.models import se3 as jse3
+
+    S = min(K, L) + 16
+    f_in = jse3.Fiber({0: 64, 1: 3})
+    f_mid = jse3.Fiber(num_degrees=2, num_channels=16)
+    mod = jse3.GSE3Res(f_in, f_mid, edge_dim=64, div=4, n_heads=4, impl=impl)
+
+    h, src_idx, rel, edge, mask, k_init = _se3_gather_inputs(L, S)
+    from rosettafold_tpu.ops import so3
+    basis = so3.equivariant_basis(rel, 1)
+    feat = jnp.concatenate([edge, so3.edge_radii(rel)], axis=-1)
+    params = mod.init(k_init, h, feat, basis, mask, src_idx=src_idx)
+
+    def run_chained(h0, params, h1, feat, basis, mask, src_idx):
+        out = mod.apply(params, {0: h0, 1: h1}, feat, basis, mask,
+                        src_idx=src_idx)
+        return h0 + 1e-6 * jnp.sum(out[0]) + 0 * jnp.sum(out[1])
+
+    sec = _time(run_chained, h[0], params, h[1], feat, basis, mask,
+                src_idx, iters=5, reps=60)
+    flops, bytes_ = _se3_flops(L, S)
     return dict(sec=sec, flops=flops, bytes=bytes_)
+
+
+def bench_se3_transformer(L, dtype, K=64, impl="xla"):
+    """Full 3-layer SE3Transformer on gathered neighborhoods at model dims —
+    the layer-invariant plane prep (feat/basis/mask) is hoisted and shared by
+    all layers on the fused path."""
+    from rosettafold_tpu.models import se3 as jse3
+
+    S = min(K, L) + 16
+    h, src_idx, rel, edge, mask, k_init = _se3_gather_inputs(L, S)
+    mod = jse3.SE3Transformer(
+        num_layers=2, num_channels=16, n_heads=4, num_degrees=2,
+        l0_in_features=64, l1_in_features=3, l0_out_features=32,
+        l1_out_features=3, num_edge_features=64, impl=impl)
+    params = mod.init(k_init, h[0], h[1], edge, rel, mask, src_idx=src_idx)
+
+    def run_chained(h0, params, h1, edge, rel, mask, src_idx):
+        out = mod.apply(params, h0, h1, edge, rel, mask, src_idx=src_idx)
+        return h0 + 1e-6 * jnp.sum(out[0]) + 0 * jnp.sum(out[1])
+
+    sec = _time(run_chained, h[0], params, h[1], edge, rel, mask,
+                src_idx, iters=5, reps=30)
+    flops, bytes_ = _se3_flops(L, S)
+    return dict(sec=sec, flops=flops * 3, bytes=bytes_ * 3)  # ~3 GSE3Res layers
 
 
 FAMILIES = {
@@ -324,6 +349,9 @@ FAMILIES = {
     "conv3x3_pallas": bench_conv_pallas,
     "se3_gse3res": bench_se3_block,
     "se3_gse3res_pallas": lambda L, dtype: bench_se3_block(L, dtype, impl="pallas"),
+    "se3_transformer_gather": bench_se3_transformer,
+    "se3_transformer_gather_pallas":
+        lambda L, dtype: bench_se3_transformer(L, dtype, impl="pallas"),
 }
 
 

@@ -499,14 +499,17 @@ class GSE3Res(nn.Module):
 
     @nn.compact
     def __call__(self, h: Features, edge_feat, basis, mask, h_src: Features = None,
-                 dst_idx=None, rel_pos=None) -> Features:
+                 dst_idx=None, rel_pos=None, src_idx=None, prep=None) -> Features:
+        # src_idx (B, J, S): gather-layout neighbor indices — the fused path
+        # gathers node features directly in plane layout (no h_src needed).
+        # prep: se3_attend.Prepped invariants hoisted by SE3Transformer (the
+        # feat/basis/mask plane transposes are identical for every layer).
         f_mid_out = Fiber({d: int(m // self.div) for d, m in self.f_out.dict.items()})
         f_mid_in = Fiber(
             {d: m for d, m in f_mid_out.dict.items() if d in self.f_in.degrees}
         )
 
         src_major = dst_idx is not None
-        src = h_src if h_src is not None else h
         fused = (
             self.impl == "pallas"
             and dst_idx is None
@@ -516,6 +519,12 @@ class GSE3Res(nn.Module):
             and f_mid_out.degrees == (0, 1)
             and f_mid_in.degrees == (0, 1)
         )
+        if h_src is None and src_idx is not None and not fused:
+            # XLA gather fallback still needs pre-gathered src features
+            h_src = {
+                d: jax.vmap(lambda hb, ib: hb[ib])(h[d], src_idx) for d in h
+            }
+        src = h_src if h_src is not None else h
         v_mod = GConvSE3Partial(self.f_in, f_mid_out, self.edge_dim,
                                 src_major=src_major, x_ij=self.x_ij, name="v")
         k_mod = GConvSE3Partial(self.f_in, f_mid_in, self.edge_dim,
@@ -544,9 +553,23 @@ class GSE3Res(nn.Module):
                 v_mod.variables["params"], k_mod.variables["params"], meta)
             qh = fiber2head(q, self.n_heads, f_mid_in)
             qh = qh.reshape(*qh.shape[:2], -1)  # (B, J, H*ck)
-            dense = h[0].ndim == 4 and h_src is None
-            z = se3_attend.gse3_attend(
-                edge_feat, basis, src, mask, qh, stacked, meta, dense)
+            dense = h[0].ndim == 4 and h_src is None and src_idx is None
+            T = se3_attend.default_tile(dense)
+            if prep is None:
+                prep = se3_attend.prep_invariants(edge_feat, basis, mask, T)
+            Jp, S = prep.maskf.shape[1:3]
+            if dense:
+                hp = se3_attend.prep_h_planes_dense(h, meta.f_in, Jp, S, T)
+            elif src_idx is not None:
+                hp = se3_attend.gather_h_planes(
+                    h, meta.f_in, src_idx, Jp, S, T)
+            else:
+                hp = se3_attend.planes_from_gathered(
+                    h_src, meta.f_in, Jp, S, T)
+            qhp = se3_attend.prep_qh(qh, Jp)
+            z = se3_attend.gse3_attend_planes(
+                prep, hp[0], hp[1], qhp, stacked, meta, dense, T,
+                mask.shape[1])
         else:
             v = v_mod(src, edge_feat, basis, rel_pos=rel_pos)
             k = k_mod(src, edge_feat, basis, rel_pos=rel_pos)
@@ -636,10 +659,19 @@ class SE3Transformer(nn.Module):
 
         h = {0: h0.astype(jnp.float32), 1: h1.astype(jnp.float32)}
         fin = f_in
-        # fused kernel engaged on the dense layout only: measured 15% faster
-        # there, but slower than XLA through the gather path (per-layer plane
-        # transposes dominate; BENCHMARKS.md "SE(3) fused kernel")
-        impl = self.impl if (src_idx is None and dst_idx is None) else "xla"
+        # fused kernel on the dense AND gather layouts; scatter (dst_idx)
+        # keeps the XLA segment-op path
+        impl = self.impl if dst_idx is None else "xla"
+        prep = None
+        if impl == "pallas" and self.x_ij is None and mask is not None:
+            # hoist the layer-invariant feat/basis/mask plane transposes out
+            # of the per-layer kernel wrapper — the per-layer prep cost is
+            # what made the fused kernel lose through the gather path
+            # (BENCHMARKS.md "SE(3) fused kernel")
+            from ..ops.pallas import se3_attend
+
+            prep = se3_attend.prep_invariants(
+                feat, basis, mask, se3_attend.default_tile(src_idx is None))
         for i in range(self.num_layers):
             h = GSE3Res(
                 fin,
@@ -652,8 +684,9 @@ class SE3Transformer(nn.Module):
                 x_ij=self.x_ij,
                 impl=impl,
                 name=f"res_{i}",
-            )(h, feat, basis, mask, h_src=gather_src(h), dst_idx=dst_idx,
-              rel_pos=rel_pos)
+            )(h, feat, basis, mask,
+              h_src=None if impl == "pallas" else gather_src(h),
+              dst_idx=dst_idx, rel_pos=rel_pos, src_idx=src_idx, prep=prep)
             h = GNormBias(f_mid, name=f"norm_{i}")(h)
             fin = f_mid
         h = GSE3Res(
@@ -667,8 +700,9 @@ class SE3Transformer(nn.Module):
             x_ij=self.x_ij,
             impl=impl,
             name="res_out",
-        )(h, feat, basis, mask, h_src=gather_src(h), dst_idx=dst_idx,
-          rel_pos=rel_pos)
+        )(h, feat, basis, mask,
+          h_src=None if impl == "pallas" else gather_src(h),
+          dst_idx=dst_idx, rel_pos=rel_pos, src_idx=src_idx, prep=prep)
         return h
 
 

@@ -23,8 +23,12 @@ lanes (M = 32*P sublanes). HBM traffic is the inputs once and the (J, F)
 output — R/t/messages/logits never exist in HBM.
 
 Supports the dense (S = L, src axis global, reference modules.py:114-243
-masking semantics) and gather ((J, S) pre-gathered neighborhoods) layouts;
-the src-major scatter path keeps the XLA segment-op implementation.
+masking semantics) and gather layouts; the src-major scatter path keeps the
+XLA segment-op implementation. The layer-invariant planes (feat/basis/mask)
+are prepped once per SE3Transformer call and shared by all GSE3Res layers
+(prep_invariants), and gather-layout node features are gathered directly
+into plane layout (gather_h_planes) — the per-layer transposes that made
+the gather path lose to XLA in round 3's first pass no longer exist.
 
 Backward: custom VJP through `xla_reference` (the same math as plain
 einsums); at training sizes the XLA recompute is bandwidth-equivalent to
@@ -145,9 +149,10 @@ def _head_cols(meta: Meta):
 def _kernel(featT_ref, mask_ref, q_ref, h0_ref, h1_ref,
             b00_ref, b01_ref, b10_ref, b11_ref,
             w1t_ref, misc_ref, w2t_ref, w3t_ref, w3b_ref, o_ref, *,
-            meta: Meta, T, S, dense):
+            meta: Meta, T, S, bcast):
     f32 = jnp.float32
     TS = T * S
+    SB = S // 128  # edge-flat arrays are S-block-major: (sb, t, lane) chunks
     f_in = dict(meta.f_in)
     basis_refs = {(0, 0): b00_ref, (0, 1): b01_ref,
                   (1, 0): b10_ref, (1, 1): b11_ref}
@@ -158,12 +163,14 @@ def _kernel(featT_ref, mask_ref, q_ref, h0_ref, h1_ref,
                      preferred_element_type=f32)           # (32P, TS)
     a1 = a1 + misc_ref[:, 0:1]
 
-    # per-edge-source feature planes, broadcast across the tile for dense
+    # per-edge-source feature planes; dense S==128 reads (K, S) once and
+    # broadcasts across the tile in VMEM (S > 128 is pre-broadcast by prep —
+    # the (K, T, S) reshape is only Mosaic-legal at S == 128)
     h_planes = {}
     for d, mi in meta.f_in:
         ref = h0_ref if d == 0 else h1_ref
         hp = ref[0]                                        # (K, TS) or (K, S)
-        if dense:
+        if bcast:
             K = hp.shape[0]
             hp = jnp.broadcast_to(hp[:, None, :], (K, T, S)).reshape(K, TS)
         h_planes[d] = hp
@@ -219,16 +226,23 @@ def _kernel(featT_ref, mask_ref, q_ref, h0_ref, h1_ref,
                     out_d[key] = acc
 
     # ---- equivariant attention: e = k . q / sqrt(n_key), softmax over S ----
+    # All (T, S) work runs per 128-lane S-block: flat chunk sb of a message
+    # is contiguous (T*128,) -> (T, 128), and S-block sb of the natural-order
+    # mask is the 128-aligned lane slice [:, sb*128:(sb+1)*128].
     H = meta.n_heads
     q = q_ref[0]                                           # (T, H*ck)
     maskf = mask_ref[0]                                    # (T, S) f32
+    mchunks = [maskf[:, sb * 128:(sb + 1) * 128] > 0.5 for sb in range(SB)]
     head_offs, ck = _head_cols(meta)
     n_key = sum(m * (2 * d + 1) for d, m in meta.f_key)
     inv_sqrt = 1.0 / float(np.sqrt(n_key))
 
-    att = []
+    def chunk(flat, sb):
+        return flat[sb * T * 128:(sb + 1) * T * 128].reshape(T, 128)
+
+    att = []  # per head: SB chunks of (T, 128) attention weights
     for hh in range(H):
-        e = jnp.zeros((T, S), f32)
+        e_chunks = [jnp.zeros((T, 128), f32) for _ in range(SB)]
         for d, mk in meta.f_key:
             nd = 2 * d + 1
             mkh = mk // H
@@ -236,16 +250,24 @@ def _kernel(featT_ref, mask_ref, q_ref, h0_ref, h1_ref,
                 c = hh * mkh + lc
                 for m in range(nd):
                     col = hh * ck + head_offs[d] + lc * nd + m
-                    e = e + (msg["k"][d][(c, m)].reshape(T, S)
-                             * q[:, col:col + 1])
-        e = e * inv_sqrt
-        e = jnp.where(maskf > 0.5, e, -1e9)
-        mx = jnp.max(e, axis=1, keepdims=True)
-        z = jnp.exp(e - mx)
-        z = jnp.where(maskf > 0.5, z, 0.0)
+                    kflat = msg["k"][d][(c, m)]
+                    qc = q[:, col:col + 1]
+                    for sb in range(SB):
+                        e_chunks[sb] = e_chunks[sb] + chunk(kflat, sb) * qc
+        e_chunks = [jnp.where(mc, ec * inv_sqrt, -1e9)
+                    for ec, mc in zip(e_chunks, mchunks)]
+        mx = jnp.max(e_chunks[0], axis=1, keepdims=True)
+        for ec in e_chunks[1:]:
+            mx = jnp.maximum(mx, jnp.max(ec, axis=1, keepdims=True))
+        z_chunks = [jnp.where(mc, jnp.exp(ec - mx), 0.0)
+                    for ec, mc in zip(e_chunks, mchunks)]
+        den = z_chunks[0].sum(axis=1, keepdims=True)
+        for zc in z_chunks[1:]:
+            den = den + zc.sum(axis=1, keepdims=True)
         # the 1e-20 floor only matters on fully-masked padded dst rows,
         # which are sliced off by the caller
-        att.append(z / jnp.maximum(jnp.sum(z, axis=1, keepdims=True), 1e-20))
+        den = jnp.maximum(den, 1e-20)
+        att.append([zc / den for zc in z_chunks])
 
     # ---- attention-weighted sum over S, write (T, F) output columns ----
     col = 0
@@ -253,10 +275,14 @@ def _kernel(featT_ref, mask_ref, q_ref, h0_ref, h1_ref,
         nd = 2 * d + 1
         mvh = mv // H
         for c in range(mv):
-            a = att[c // mvh]
+            a_chunks = att[c // mvh]
             for m in range(nd):
-                val = jnp.sum(a * msg["v"][d][(c, m)].reshape(T, S),
+                vflat = msg["v"][d][(c, m)]
+                val = jnp.sum(a_chunks[0] * chunk(vflat, 0),
                               axis=1, keepdims=True)       # (T, 1)
+                for sb in range(1, SB):
+                    val = val + jnp.sum(a_chunks[sb] * chunk(vflat, sb),
+                                        axis=1, keepdims=True)
                 o_ref[0, :, col:col + 1] = val.astype(o_ref.dtype)
                 col += 1
 
@@ -265,8 +291,63 @@ def _interpret():
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _prep_planes(feat, basis, h, mask, qh, meta: Meta, dense, T):
-    """Pad + transpose the edge tensors to the kernel's plane layout."""
+def default_tile(dense) -> int:
+    # measured (BENCHMARKS.md): dense J=L wants more tiles in flight (8);
+    # gather neighborhoods amortize per-program overheads better at 32
+    return 8 if dense else 32
+
+
+_BASIS_KEYS = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+def _to_sbmajor(x, T, Jp, S):
+    """Reorder a (..., Jp*S) edge-flat axis from (j, s)-major to S-block-major
+    within each T-dst tile: (jt, sb, t, lane). Mosaic only supports the
+    in-kernel flat->(T, lanes) reshape when lanes == 128, so every 128-lane
+    S-block must be contiguous per tile. Identity when S == 128."""
+    SB = S // 128
+    if SB == 1:
+        return x
+    lead = x.shape[:-1]
+    x = x.reshape(*lead, Jp // T, T, SB, 128)
+    x = jnp.swapaxes(x, -3, -2)
+    return x.reshape(*lead, Jp * S)
+
+
+def _from_sbmajor(x, T, Jp, S):
+    SB = S // 128
+    if SB == 1:
+        return x
+    lead = x.shape[:-1]
+    x = x.reshape(*lead, Jp // T, SB, T, 128)
+    x = jnp.swapaxes(x, -3, -2)
+    return x.reshape(*lead, Jp * S)
+
+
+class Prepped(NamedTuple):
+    """Layer-invariant plane tensors: computed ONCE per SE3Transformer call
+    and shared by every GSE3Res layer (edge features, mask and basis do not
+    change between layers — reference se3_modules.py:164-170 computes
+    basis+radii once per forward for the same reason)."""
+
+    featT: Any   # (B, ed, Jp*S) f32
+    maskf: Any   # (B, Jp, S) f32
+    b00: Any     # (B, no*ni*nf, Jp*S) f32 planes, keys (di, do)
+    b01: Any
+    b10: Any
+    b11: Any
+
+    @property
+    def basis_planes(self):
+        return dict(zip(_BASIS_KEYS, (self.b00, self.b01, self.b10, self.b11)))
+
+
+def prep_invariants(feat, basis, mask, T) -> Prepped:
+    """Pad + transpose the layer-invariant edge tensors to plane layout.
+
+    feat (B, J, S0, ed); basis dict '{di},{do}' -> (B, J, S0, no, ni, nf);
+    mask (B, J, S0) bool. T is the dst tile the kernel will run with (Jp is
+    padded to a multiple of it)."""
     B, J, S0 = mask.shape
     S = _ceil_to(S0, 128)
     Jp = _ceil_to(J, T)
@@ -277,56 +358,108 @@ def _prep_planes(feat, basis, h, mask, qh, meta: Meta, dense, T):
         pads[s_axis] = (0, S - S0)
         return jnp.pad(t, pads)
 
+    ed = feat.shape[-1]
     featT = pad_js(feat, 1, 2).astype(jnp.float32)
-    featT = jnp.moveaxis(featT, 3, 1).reshape(B, meta.ed, Jp * S)
-    maskf = pad_js(mask.astype(jnp.float32), 1, 2)
-    qhp = jnp.pad(qh.astype(jnp.float32), ((0, 0), (0, Jp - J), (0, 0)))
+    featT = jnp.moveaxis(featT, 3, 1).reshape(B, ed, Jp * S)
+    featT = _to_sbmajor(featT, T, Jp, S)
+    maskf = pad_js(mask.astype(jnp.float32), 1, 2)  # natural (B, Jp, S)
 
-    h_planes = {}
-    for d, mi in meta.f_in:
+    planes = []
+    for d_in, d_out in _BASIS_KEYS:
+        b = basis[f"{d_in},{d_out}"].astype(jnp.float32)
+        b = pad_js(b, 1, 2)  # (B, J, S, no, ni, nf)
+        bp = jnp.transpose(b, (0, 3, 4, 5, 1, 2)).reshape(
+            B, b.shape[3] * b.shape[4] * b.shape[5], Jp * S)
+        planes.append(_to_sbmajor(bp, T, Jp, S))
+    return Prepped(featT, maskf, *planes)
+
+
+def prep_h_planes_dense(h, f_in, Jp, S, T):
+    """Node features {d: (B, L, mi, 2d+1)} -> dense-src planes (rows n*mi+c).
+
+    S == 128: (B, rows, S) — the kernel broadcasts across the dst tile in
+    VMEM (cheapest read). S > 128: the in-kernel broadcast's (K, T, S)
+    reshape is not Mosaic-legal, so the broadcast happens here instead:
+    (B, rows, Jp*S) S-block-major planes, same as the gather layout."""
+    planes = {}
+    for d, mi in f_in:
         ni = 2 * d + 1
-        if dense:
-            # h[d]: (B, L, mi, ni) node-major; src axis == S
-            t = jnp.pad(h[d].astype(jnp.float32), ((0, 0), (0, S - S0),
-                                                   (0, 0), (0, 0)))
-            h_planes[d] = jnp.moveaxis(t, (2, 3), (2, 1)).reshape(
-                B, ni * mi, S)  # rows n*mi + c
+        t = h[d].astype(jnp.float32)
+        B = t.shape[0]
+        t = jnp.pad(t, ((0, 0), (0, S - t.shape[1]), (0, 0), (0, 0)))
+        hp = jnp.moveaxis(t, (2, 3), (2, 1)).reshape(B, ni * mi, S)
+        if S == 128:
+            planes[d] = hp
         else:
-            t = pad_js(h[d].astype(jnp.float32), 1, 2)  # (B, J, S, mi, ni)
-            h_planes[d] = jnp.transpose(t, (0, 4, 3, 1, 2)).reshape(
-                B, ni * mi, Jp * S)
-
-    basis_planes = {}
-    for d_in, _ in meta.f_in:
-        for d_out in sorted({p.do for p in meta.pairs}):
-            b = basis[f"{d_in},{d_out}"].astype(jnp.float32)
-            b = pad_js(b, 1, 2)  # (B, J, S, no, ni, nf)
-            basis_planes[(d_in, d_out)] = jnp.transpose(
-                b, (0, 3, 4, 5, 1, 2)
-            ).reshape(B, b.shape[3] * b.shape[4] * b.shape[5], Jp * S)
-
-    return featT, maskf, qhp, h_planes, basis_planes, S, Jp
+            SB = S // 128
+            full = jnp.broadcast_to(
+                hp.reshape(B, ni * mi, 1, 1, SB, 128),
+                (B, ni * mi, Jp // T, T, SB, 128))
+            planes[d] = _to_sbmajor(
+                full.reshape(B, ni * mi, Jp * S), T, Jp, S)
+    return planes
 
 
-def _forward(feat, basis, h, mask, qh, stacked, meta: Meta, dense, T):
-    if T is None:
-        # measured (BENCHMARKS.md): dense J=L wants more tiles in flight (8);
-        # gather neighborhoods amortize per-program overheads better at 32
-        T = 8 if dense else 32
-    B, J = mask.shape[:2]
+def gather_h_planes(h, f_in, src_idx, Jp, S, T):
+    """Gather node features directly INTO plane layout: one pass over the
+    O(J*S) edge tensor instead of gather-then-transpose (the per-layer cost
+    that made the fused kernel lose through the gather wrapper; BENCHMARKS.md
+    'SE(3) fused kernel'). Padded (dst, slot) positions read node 0; the mask
+    zeroes their attention weight in-kernel. The index array itself is
+    reordered S-block-major so the single gather lands in kernel layout."""
+    B, J, S0 = src_idx.shape
+    idx = jnp.pad(src_idx, ((0, 0), (0, Jp - J), (0, S - S0))).reshape(B, Jp * S)
+    idx = _to_sbmajor(idx, T, Jp, S)
+    planes = {}
+    for d, mi in f_in:
+        ni = 2 * d + 1
+        hp = jnp.moveaxis(h[d].astype(jnp.float32), (2, 3), (2, 1)).reshape(
+            h[d].shape[0], ni * mi, h[d].shape[1])  # (B, rows, L)
+        planes[d] = jax.vmap(lambda p, i: p[:, i])(hp, idx)  # (B, rows, Jp*S)
+    return planes
+
+
+def planes_from_gathered(h_src, f_in, Jp, S, T):
+    """Pre-gathered (B, J, S0, mi, ni) neighborhoods -> plane layout (the
+    legacy per-layer transpose path, kept for callers without src_idx)."""
+    planes = {}
+    for d, mi in f_in:
+        ni = 2 * d + 1
+        t = h_src[d].astype(jnp.float32)
+        B, J, S0 = t.shape[:3]
+        t = jnp.pad(t, ((0, 0), (0, Jp - J), (0, S - S0), (0, 0), (0, 0)))
+        planes[d] = _to_sbmajor(
+            jnp.transpose(t, (0, 4, 3, 1, 2)).reshape(B, ni * mi, Jp * S),
+            T, Jp, S)
+    return planes
+
+
+def prep_qh(qh, Jp):
+    return jnp.pad(qh.astype(jnp.float32),
+                   ((0, 0), (0, Jp - qh.shape[1]), (0, 0)))
+
+
+def _forward_planes(inv: Prepped, h0p, h1p, qhp, stacked, meta: Meta,
+                    dense, T, J):
+    B, Jp, S = inv.maskf.shape
+    assert Jp % T == 0, (Jp, T)
     w1t, misc, w2t, w3t, w3b = stacked
-    featT, maskf, qhp, h_planes, basis_planes, S, Jp = _prep_planes(
-        feat, basis, h, mask, qh, meta, dense, T)
+    h_planes = {0: h0p, 1: h1p}
+    basis_planes = inv.basis_planes
+    featT, maskf = inv.featT, inv.maskf
     TS = T * S
     F = sum(m * (2 * d + 1) for d, m in meta.f_value)
-    HCK = qh.shape[-1]
+    HCK = qhp.shape[-1]
     P32 = w1t.shape[0]
     NW3 = w3t.shape[0]
 
     def wspec(shape):
         return pl.BlockSpec(shape, lambda b, j: (0,) * len(shape))
 
-    if dense:
+    # dense S==128: (B, rows, S) shared-src planes, broadcast in-kernel;
+    # otherwise (gather, or dense pre-broadcast at S>128): per-tile planes
+    bcast = dense and S == 128
+    if bcast:
         h_spec = lambda K: pl.BlockSpec((1, K, S), lambda b, j: (b, 0, 0))
     else:
         h_spec = lambda K: pl.BlockSpec((1, K, TS), lambda b, j: (b, 0, j))
@@ -347,7 +480,7 @@ def _forward(feat, basis, h, mask, qh, stacked, meta: Meta, dense, T):
     in_specs += [wspec((P32, meta.ed)), wspec((P32, 6)), wspec((P32, 32)),
                  wspec((NW3, 32)), wspec((NW3, 1))]
 
-    kern = functools.partial(_kernel, meta=meta, T=T, S=S, dense=dense)
+    kern = functools.partial(_kernel, meta=meta, T=T, S=S, bcast=bcast)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, Jp, F), jnp.float32),
@@ -429,31 +562,91 @@ def xla_reference(feat, basis, h, mask, qh, stacked, meta: Meta, dense):
     return z
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def gse3_attend(feat, basis, h, mask, qh, stacked, meta: Meta, dense, tile=None):
-    """Fused V/K partial-conv + equivariant attention (one GSE3Res hot path).
+def _unprep(inv: Prepped, h0p, h1p, qhp, meta: Meta, dense, T):
+    """Plane layout back to the (padded) original layouts, so xla_reference
+    can serve as the recompute backward for the prepped forward. The padded
+    dst rows / src slots are fully masked; the caller slices the output.
+
+    Dense S>128 h planes are pre-broadcast per tile; the unprep reads tile 0
+    (every tile holds the same values, so xla_reference computes the full
+    dense gradient from it and the broadcast's vjp sums the rest as zeros)."""
+    B, Jp, S = inv.maskf.shape
+    featT = _from_sbmajor(inv.featT, T, Jp, S)
+    feat = jnp.moveaxis(featT.reshape(B, meta.ed, Jp, S), 1, 3)
+    basis = {}
+    for (di, do), bp in inv.basis_planes.items():
+        no, ni, nf = 2 * do + 1, 2 * di + 1, 2 * min(di, do) + 1
+        bp = _from_sbmajor(bp, T, Jp, S)
+        basis[f"{di},{do}"] = jnp.transpose(
+            bp.reshape(B, no, ni, nf, Jp, S), (0, 4, 5, 1, 2, 3))
+    h = {}
+    for d, hp in ((0, h0p), (1, h1p)):
+        ni = 2 * d + 1
+        mi = hp.shape[1] // ni
+        if dense and hp.shape[-1] == S:
+            h[d] = jnp.transpose(hp.reshape(B, ni, mi, S), (0, 3, 2, 1))
+        elif dense:
+            hp = _from_sbmajor(hp, T, Jp, S).reshape(B, ni, mi, Jp, S)
+            h[d] = jnp.transpose(hp[..., 0, :], (0, 3, 2, 1))
+        else:
+            hp = _from_sbmajor(hp, T, Jp, S)
+            h[d] = jnp.transpose(
+                hp.reshape(B, ni, mi, Jp, S), (0, 3, 4, 2, 1))
+    return feat, basis, h, inv.maskf > 0.5, qhp
+
+
+def _planes_reference(inv, h0p, h1p, qhp, stacked, meta, dense, T, J):
+    feat, basis, h, mask, qh = _unprep(inv, h0p, h1p, qhp, meta, dense, T)
+    z = xla_reference(feat, basis, h, mask, qh, stacked, meta, dense)
+    return {d: v[:, :J] for d, v in z.items()}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def gse3_attend_planes(inv: Prepped, h0p, h1p, qhp, stacked, meta: Meta,
+                       dense, tile, J):
+    """Fused V/K partial-conv + equivariant attention on pre-prepped plane
+    tensors. `inv` (prep_invariants) is layer-invariant and shared across the
+    GSE3Res layers of one SE3Transformer call; h0p/h1p/qhp are per-layer
+    (prep_h_planes_dense / gather_h_planes / prep_qh). Returns
+    {d: (B, J, m_v, 2d+1)} — the GMABSE3 output z."""
+    return _forward_planes(inv, h0p, h1p, qhp, stacked, meta, dense, tile, J)
+
+
+def _fwd_rule(inv, h0p, h1p, qhp, stacked, meta, dense, tile, J):
+    out = _forward_planes(inv, h0p, h1p, qhp, stacked, meta, dense, tile, J)
+    return out, (inv, h0p, h1p, qhp, stacked)
+
+
+def _bwd_rule(meta, dense, tile, J, res, g):
+    inv, h0p, h1p, qhp, stacked = res
+    _, vjp = jax.vjp(
+        lambda i_, h0_, h1_, q_, s_: _planes_reference(
+            i_, h0_, h1_, q_, s_, meta, dense, tile, J),
+        inv, h0p, h1p, qhp, stacked)
+    return vjp(g)
+
+
+gse3_attend_planes.defvjp(_fwd_rule, _bwd_rule)
+
+
+def gse3_attend(feat, basis, h, mask, qh, stacked, meta: Meta, dense,
+                tile=None):
+    """Single-layer convenience wrapper (preps inline, then runs the fused
+    kernel). Multi-layer callers should prep_invariants once and call
+    gse3_attend_planes per layer instead.
 
     feat (B, J, S, ed); basis: dict '{di},{do}' -> (B, J, S, no, ni, nf);
     h: {0: ..., 1: ...} node features — dense: (B, L, mi, ni) with S == L;
     gather: pre-gathered (B, J, S, mi, ni). mask (B, J, S) bool. qh
     (B, J, H*ck) from fiber2head. stacked: stack_weights(...) output.
     Returns {d: (B, J, m_v, 2d+1)} — the GMABSE3 output z."""
-    return _forward(feat, basis, h, mask, qh, stacked, meta, dense, tile)
-
-
-def _fwd_rule(feat, basis, h, mask, qh, stacked, meta, dense, tile):
-    out = _forward(feat, basis, h, mask, qh, stacked, meta, dense, tile)
-    return out, (feat, basis, h, mask, qh, stacked)
-
-
-def _bwd_rule(meta, dense, tile, res, g):
-    feat, basis, h, mask, qh, stacked = res
-    _, vjp = jax.vjp(
-        lambda f_, b_, h_, q_, s_: xla_reference(f_, b_, h_, mask, q_, s_,
-                                                 meta, dense),
-        feat, basis, h, qh, stacked)
-    df, db, dh, dq, ds = vjp(g)
-    return df, db, dh, None, dq, ds
-
-
-gse3_attend.defvjp(_fwd_rule, _bwd_rule)
+    T = tile if tile is not None else default_tile(dense)
+    inv = prep_invariants(feat, basis, mask, T)
+    Jp, S = inv.maskf.shape[1:3]
+    if dense:
+        hp = prep_h_planes_dense(h, meta.f_in, Jp, S, T)
+    else:
+        hp = planes_from_gathered(h, meta.f_in, Jp, S, T)
+    qhp = prep_qh(qh, Jp)
+    return gse3_attend_planes(inv, hp[0], hp[1], qhp, stacked, meta, dense,
+                              T, mask.shape[1])

@@ -97,6 +97,79 @@ def test_fused_gradients_match(gather):
         np.testing.assert_allclose(b, a, rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.parametrize("gather", [False, True])
+def test_fused_matches_xla_multiblock_s(gather):
+    """S > 128 (two 128-lane S-blocks): the edge-flat planes are S-block-major
+    and the kernel chunks the attention stage — the layout that a K=128
+    neighborhood (S = 128 + band = 146 -> 256) or a dense L in (128, 256]
+    produces. Guards the Mosaic (T*S,)->(T,S) reshape restriction."""
+    f_in, f_out = jse3.Fiber({0: 8, 1: 3}), jse3.Fiber({0: 8, 1: 8})
+    if gather:
+        B, L, S = 1, 24, 130
+    else:
+        B, L, S = 1, 130, 130
+    h, h_src, feat, basis, mask = _make_inputs(
+        jax.random.PRNGKey(7), B, L, S, f_in, gather)
+    ref, fused = _mods(f_in, f_out, n_heads=2, div=2)
+    params = ref.init(jax.random.PRNGKey(8), h, feat, basis, mask, h_src=h_src)
+    out_ref = ref.apply(params, h, feat, basis, mask, h_src=h_src)
+    out_fused = fused.apply(params, h, feat, basis, mask, h_src=h_src)
+    for d in out_ref:
+        np.testing.assert_allclose(
+            out_fused[d], out_ref[d], rtol=2e-5, atol=2e-5,
+            err_msg=f"degree {d}")
+
+    def loss(mod, params, h, feat):
+        out = mod.apply(params, h, feat, basis, mask, h_src=h_src)
+        return sum(jnp.sum(out[d] ** 2) for d in out)
+
+    g_ref = jax.grad(lambda p, hh, f: loss(ref, p, hh, f), argnums=(1, 2))(
+        params, h, feat)
+    g_fused = jax.grad(lambda p, hh, f: loss(fused, p, hh, f), argnums=(1, 2))(
+        params, h, feat)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_f, _ = jax.tree_util.tree_flatten(g_fused)
+    for a, b in zip(flat_r, flat_f):
+        np.testing.assert_allclose(b, a, rtol=5e-4, atol=5e-5)
+
+
+def test_se3_transformer_fused_gather_matches_xla():
+    """The gather layout through SE3Transformer: invariant planes (feat/basis/
+    mask) prepped ONCE and shared by all three GSE3Res layers, node features
+    gathered directly in plane layout (gather_h_planes) — forward + grads."""
+    B, L, S = 1, 16, 8
+    ks = jax.random.split(jax.random.PRNGKey(6), 7)
+    h0 = jax.random.normal(ks[0], (B, L, 12, 1))
+    h1 = jax.random.normal(ks[1], (B, L, 3, 3))
+    src_idx = jax.random.randint(ks[2], (B, L, S), 0, L)
+    edge = jax.random.normal(ks[3], (B, L, S, 16))
+    rel = jax.random.normal(ks[4], (B, L, S, 3))
+    mask = jax.random.bernoulli(ks[5], 0.8, (B, L, S)).at[..., 0].set(True)
+    kw = dict(num_layers=2, num_channels=8, n_heads=2, div=2,
+              l0_in_features=12, l0_out_features=8, num_edge_features=16)
+    ref = jse3.SE3Transformer(impl="xla", **kw)
+    fused = jse3.SE3Transformer(impl="pallas", **kw)
+    params = ref.init(ks[6], h0, h1, edge, rel, mask, src_idx=src_idx)
+    out_ref = ref.apply(params, h0, h1, edge, rel, mask, src_idx=src_idx)
+    out_fused = fused.apply(params, h0, h1, edge, rel, mask, src_idx=src_idx)
+    for d in out_ref:
+        np.testing.assert_allclose(out_fused[d], out_ref[d],
+                                   rtol=5e-5, atol=5e-5)
+
+    def loss(mod, params, h0, h1, edge):
+        out = mod.apply(params, h0, h1, edge, rel, mask, src_idx=src_idx)
+        return sum(jnp.sum(out[d] ** 2) for d in out)
+
+    g_ref = jax.grad(lambda p, a, b, e: loss(ref, p, a, b, e),
+                     argnums=(0, 1, 2, 3))(params, h0, h1, edge)
+    g_fused = jax.grad(lambda p, a, b, e: loss(fused, p, a, b, e),
+                       argnums=(0, 1, 2, 3))(params, h0, h1, edge)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_f, _ = jax.tree_util.tree_flatten(g_fused)
+    for a, b in zip(flat_r, flat_f):
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=5e-5)
+
+
 def test_se3_transformer_fused_matches_xla():
     B, L = 1, 16
     ks = jax.random.split(jax.random.PRNGKey(4), 5)

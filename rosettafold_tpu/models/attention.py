@@ -149,10 +149,19 @@ class PerformerSelfAttention(nn.Module):
                                                   deterministic=deterministic)
             xr = jnp.swapaxes(x, 1, 2) if self.attend_axis == 1 else x
             lead, L = xr.shape[:-2], xr.shape[-2]
-            out = fused_performer_layer(
-                xr.astype(cdt).reshape(-1, L, self.dim), wq, wk, wv, wo, bo,
-                projection, self.dim_head**-0.25, self.kernel_eps,
-                self.heads, self.dim_head,
+            from ..parallel.mesh import tp_shard_map
+
+            # under a tp>1 mesh: split the row-problem axis over 'tp'
+            # (zero collectives — each row's layer is independent); the
+            # whole-layer weights are replicated within the tp group
+            out = tp_shard_map(
+                lambda x3, *w: fused_performer_layer(
+                    x3, *w, self.dim_head**-0.25, self.kernel_eps,
+                    self.heads, self.dim_head,
+                ),
+                xr.astype(cdt).reshape(-1, L, self.dim),
+                wq, wk, wv, wo, bo, projection,
+                shard=(0,),
             ).reshape(*lead, L, self.dim)
             if self.attend_axis == 1:
                 out = jnp.swapaxes(out, 1, 2)

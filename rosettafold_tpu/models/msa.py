@@ -89,12 +89,16 @@ class SoftTiedAttentionOverResidues(nn.Module):
         use_pallas = self.attn_impl == "pallas" and not self.return_att
         if use_pallas:
             from ..ops.pallas.tied_attention import tied_flash_attention
+            from ..parallel.mesh import tp_shard_map
 
             def fold(t):  # (B, N, L, h, d) -> (B*h, L, N*d)
                 t = jnp.transpose(t, (0, 3, 2, 1, 4))
                 return t.reshape(B * h, L, N * d_head)
 
-            out = tied_flash_attention(fold(q), fold(k), fold(v))
+            # under a tp>1 mesh the kernel runs per head shard (B*h is
+            # b-major/h-minor, so splitting it over 'tp' splits head blocks —
+            # matching the head-stacked to_q/k/v kernel sharding)
+            out = tp_shard_map(tied_flash_attention, fold(q), fold(k), fold(v))
             out = out.reshape(B, h, L, N, d_head)
             out = jnp.transpose(out, (0, 3, 2, 1, 4)).reshape(B, N, L, self.d_msa)
         else:

@@ -120,3 +120,45 @@ def param_shardings(tree, mesh: Mesh):
 def shard_params(tree, mesh: Mesh):
     """Device-put a param/opt-state tree with tensor-parallel layout."""
     return jax.tree.map(jax.device_put, tree, param_shardings(tree, mesh))
+
+
+def tp_shard_map(fn, *args, shard=None):
+    """Run a leading-axis-batched Pallas kernel sharded over the 'tp' axis.
+
+    XLA's SPMD partitioner cannot slice into a pallas_call (it is an opaque
+    custom call), so under a tp>1 mesh the kernel's operands would otherwise
+    be all-gathered and the kernel replicated on every tp group — the one
+    place Megatron sharding used to stop at the XLA path. The attention
+    kernels are embarrassingly parallel over their leading batch axis
+    (batch*heads for tied attention, row-problems for the fused FAVOR+
+    layer), so a shard_map with that axis split over 'tp' runs each device
+    on its local block with zero collectives inside; XLA inserts the
+    boundary reshards (for tied attention the q/k/v producers are already
+    head-sharded by param_shardings, so those are local reshapes, not
+    gathers).
+
+    shard: indices of args whose leading axis is split (default: all args);
+    the rest (e.g. whole-layer weights fed to the fused FAVOR+ kernel) are
+    replicated within the tp group. Falls back to a plain call when no mesh
+    is active, tp == 1, or a sharded leading axis does not divide tp. fn
+    must map the sharded args to outputs carrying the same leading axis.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh.empty or "tp" not in mesh.axis_names:
+        return fn(*args)
+    tp = mesh.shape["tp"]
+    shard = set(range(len(args))) if shard is None else set(shard)
+    if tp == 1 or any(args[i].shape[0] % tp != 0 for i in shard):
+        return fn(*args)
+    in_specs = tuple(
+        P("tp", *([None] * (a.ndim - 1))) if i in shard
+        else P(*([None] * a.ndim))
+        for i, a in enumerate(args))
+    out_shapes = jax.eval_shape(fn, *args)
+    out_specs = jax.tree.map(
+        lambda s: P("tp", *([None] * (len(s.shape) - 1))), out_shapes)
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation; every output is 'tp'-varying by construction here
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False)(*args)

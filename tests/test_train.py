@@ -210,3 +210,94 @@ def test_tp_param_sharding_rules():
     assert sh["ff"]["fc2"]["kernel"].spec == P(None, "tp", None)
     assert sh["odd"]["to_v"]["kernel"].spec == P()
     assert sh["ln"]["scale"].spec == P()
+
+
+def test_tp_shard_map_tied_attention():
+    """Under a tp>1 mesh the Pallas tied-attention kernel runs per head
+    shard via shard_map (XLA cannot slice into a pallas_call, so without
+    this the kernel's operands were all-gathered and the compute replicated
+    on every tp group). Forward and gradient must match the unsharded
+    kernel exactly, output sharded over 'tp'."""
+    from rosettafold_tpu.ops.pallas.tied_attention import tied_flash_attention
+    from rosettafold_tpu.parallel.mesh import make_mesh, tp_shard_map
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (8, 64, 32))
+    k = jax.random.normal(ks[1], (8, 64, 32))
+    v = jax.random.normal(ks[2], (8, 64, 48))
+    ref = tied_flash_attention(q, k, v)
+    g_ref = jax.grad(lambda a: tied_flash_attention(a, k, v).sum())(q)
+
+    mesh = make_mesh(8, sp=1, tp=2)
+    with jax.set_mesh(mesh):
+        out = jax.jit(
+            lambda a, b, c: tp_shard_map(tied_flash_attention, a, b, c)
+        )(q, k, v)
+        g = jax.jit(
+            jax.grad(lambda a: tp_shard_map(tied_flash_attention, a, k, v).sum())
+        )(q)
+    assert out.sharding.spec[0] == "tp"
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
+
+    # fallback: leading axis not divisible by tp -> plain call, same result
+    with jax.set_mesh(mesh):
+        out7 = jax.jit(
+            lambda a, b, c: tp_shard_map(tied_flash_attention, a, b, c)
+        )(q[:7], k[:7], v[:7])
+    np.testing.assert_array_equal(np.asarray(out7), np.asarray(ref[:7]))
+
+
+def test_tp_mesh_tied_encoder_matches_unsharded():
+    """A tied EncoderLayer with attn_impl='pallas' traced under a (2dp,2tp)
+    mesh produces the same output as without any mesh."""
+    from rosettafold_tpu.models.msa import EncoderLayer
+    from rosettafold_tpu.parallel.mesh import make_mesh
+
+    B, N, L, d = 2, 4, 32, 24
+    mod = EncoderLayer(d_msa=d, d_ff=48, n_heads=4, p_dropout=0.0,
+                       tied=True, attn_impl="pallas")
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, L, d))
+    params = mod.init(jax.random.PRNGKey(1), x)
+    ref = jax.jit(mod.apply)(params, x)
+
+    mesh = make_mesh(8, sp=1, tp=2)
+    with jax.set_mesh(mesh):
+        out = jax.jit(mod.apply)(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_tp_mesh_fused_performer_matches_unsharded():
+    """The fused FAVOR+ layer kernel under a tp>1 mesh splits its row-problem
+    axis over 'tp' (weights replicated in-group, zero collectives inside);
+    forward must match the unsharded kernel exactly, gradients to reduction
+    reorder (weight grads become per-shard partials + psum)."""
+    from rosettafold_tpu.models.attention import PerformerSelfAttention
+    from rosettafold_tpu.parallel.mesh import make_mesh
+
+    B, L1, L2, D = 2, 8, 128, 32
+    mod = PerformerSelfAttention(
+        dim=D, heads=4, dim_head=8, p_dropout=0.0,
+        generalized_attention=True, attn_impl="pallas", fused_favor_min_l=64)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, L1, L2, D))
+    params = mod.init(
+        {"params": jax.random.PRNGKey(1), "projection": jax.random.PRNGKey(2)},
+        x)
+    ref = jax.jit(mod.apply)(params, x)
+
+    def loss(p, xx):
+        return jnp.sum(mod.apply(p, xx) ** 2)
+
+    g_ref = jax.jit(jax.grad(loss))(params, x)
+
+    mesh = make_mesh(8, sp=1, tp=2)
+    with jax.set_mesh(mesh):
+        out = jax.jit(mod.apply)(params, x)
+        g = jax.jit(jax.grad(loss))(params, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    jax.tree_util.tree_map_with_path(
+        lambda p, a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4,
+            err_msg=jax.tree_util.keystr(p)),
+        g, g_ref)

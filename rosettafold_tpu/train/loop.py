@@ -82,7 +82,10 @@ def fit(
                     f"grad={float(metrics['grad_norm']):.2f} {dt * 1e3:.0f} ms/step"
                 )
             if ckpt_dir and (i + 1) % ckpt_every == 0:
-                ckpt.save(os.path.join(ckpt_dir, "latest"), state)
+                # async: training continues while the background thread
+                # serializes; the final sync save below joins everything
+                ckpt.save(os.path.join(ckpt_dir, "latest"), state,
+                          async_=True)
         if ckpt_dir:
             ckpt.save(os.path.join(ckpt_dir, "latest"), state)
         return state

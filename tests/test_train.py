@@ -124,6 +124,29 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_checkpoint_async_roundtrip(tmp_path):
+    """Async saves (pod-scale pattern: training overlaps serialization) must
+    still commit durably: back-to-back async saves to the SAME dir may not
+    race, and restore() must join the in-flight save before reading."""
+    from rosettafold_tpu.train import checkpoint as ckpt
+
+    cfg = _tiny_cfg()
+    batch = _batch()
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    path = str(tmp_path / "ckpt")
+    # two overlapping async saves to one path (the fit() ckpt_every pattern)
+    save(path, jax.tree.map(lambda x: x * 0, state.params), async_=True)
+    save(path, state.params, async_=True)
+    # restore joins the background commit itself — no explicit wait needed
+    restored = restore(path, target=state.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        state.params,
+        restored,
+    )
+    ckpt.wait_until_finished()  # idempotent after restore's implicit join
+
+
 def test_multichip_dryrun_via_graft_entry():
     import sys
     sys.path.insert(0, "/root/repo")

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import queue
+import threading
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -39,8 +41,77 @@ def load_example(a3m_path: str, pdb_path: str, chain: Optional[str] = None) -> E
     )
 
 
-def crop_pad(ex: Example, n_seq: int, crop_len: int, rng: np.random.Generator) -> Example:
-    """Random contiguous crop to crop_len (pad with gap tokens / zeros)."""
+def _subsample_rows(
+    msa: np.ndarray,
+    n_seq: int,
+    rng: np.random.Generator,
+    strategy: str,
+    pool: int = 1024,
+) -> np.ndarray:
+    """Pick n_seq-1 homolog row indices (the query, row 0, is always kept).
+
+    uniform   — unbiased random rows (the default; what AlphaFold's
+                "uniform" MSA sampling does between recycles).
+    weighted  — inverse-neighbor-count sequence weighting: each homolog is
+                weighted 1/|{j : id(i,j) >= 0.8}| so redundant near-duplicate
+                clusters don't crowd out the deep, diverse part of the
+                alignment (the standard HHsuite/trRosetta reweighting rule).
+    diversity — greedy max-min Hamming: repeatedly take the homolog farthest
+                (min distance over already-selected rows) from the current
+                selection. Deterministic given the pool; maximizes coverage.
+
+    O(N^2 L) strategies cap the candidate pool at `pool` uniformly-drawn rows
+    first, so pathological 100k-row alignments stay cheap.
+    """
+    N = msa.shape[0]
+    take = n_seq - 1
+    cand = np.arange(1, N)
+    if strategy != "uniform" and cand.size > pool:
+        cand = np.sort(rng.permutation(cand)[:pool])
+
+    if strategy == "uniform":
+        keep = rng.permutation(cand.size)[:take]
+        return np.sort(np.concatenate([[0], cand[keep]]))
+
+    sub = msa[cand]  # (C, L)
+    if strategy == "weighted":
+        # pairwise identity over all columns (gaps count, as in hhfilter)
+        ident = (sub[:, None, :] == sub[None, :, :]).mean(-1)  # (C, C)
+        neighbors = (ident >= 0.8).sum(-1)  # >= 1 (self)
+        w = 1.0 / neighbors
+        p = w / w.sum()
+        keep = rng.choice(cand.size, size=min(take, cand.size),
+                          replace=False, p=p)
+        return np.sort(np.concatenate([[0], cand[keep]]))
+
+    if strategy == "diversity":
+        # greedy max-min Hamming distance, seeded from the query row
+        dist_to_sel = (sub != msa[0][None, :]).mean(-1)  # (C,)
+        chosen: List[int] = []
+        for _ in range(min(take, cand.size)):
+            nxt = int(np.argmax(dist_to_sel))
+            chosen.append(nxt)
+            d_new = (sub != sub[nxt][None, :]).mean(-1)
+            dist_to_sel = np.minimum(dist_to_sel, d_new)
+            dist_to_sel[nxt] = -1.0  # never re-pick
+        return np.sort(np.concatenate([[0], cand[chosen]]))
+
+    raise ValueError(
+        f"unknown subsample strategy {strategy!r} "
+        "(expected 'uniform', 'weighted' or 'diversity')")
+
+
+def crop_pad(
+    ex: Example,
+    n_seq: int,
+    crop_len: int,
+    rng: np.random.Generator,
+    subsample: str = "uniform",
+) -> Example:
+    """Random contiguous crop to crop_len (pad with gap tokens / zeros).
+
+    `subsample` picks the MSA row-selection strategy when the alignment is
+    deeper than n_seq — see _subsample_rows."""
     N, L = ex.msa.shape
     if L > crop_len:
         start = int(rng.integers(0, L - crop_len + 1))
@@ -54,11 +125,37 @@ def crop_pad(ex: Example, n_seq: int, crop_len: int, rng: np.random.Generator) -
         mask = np.pad(ex.mask, (0, pad))
 
     if msa.shape[0] >= n_seq:
-        keep = np.concatenate([[0], 1 + rng.permutation(msa.shape[0] - 1)[: n_seq - 1]])
-        msa = msa[np.sort(keep)]
+        msa = msa[_subsample_rows(msa, n_seq, rng, subsample)]
     else:
         msa = np.pad(msa, ((0, n_seq - msa.shape[0]), (0, 0)), constant_values=GAP)
     return Example(msa=msa, xyz=xyz, aa_idx=aa, mask=mask)
+
+
+def prefetch(it: Iterator[dict], size: int = 2) -> Iterator[dict]:
+    """Run `it` on a background thread, keeping up to `size` batches ready.
+
+    Overlaps host-side example assembly (crop/pad/subsample — pure numpy)
+    with the device step: while the chip runs step i, the loader builds
+    batch i+1. Worker exceptions re-raise at the consuming `next()`."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END, _ERR = object(), object()
+
+    def _worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - relayed to the consumer
+            q.put((_ERR, e))
+
+    threading.Thread(target=_worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
+        yield item
 
 
 def batches(
@@ -68,19 +165,38 @@ def batches(
     crop_len: int = 128,
     seed: int = 0,
     epochs: Optional[int] = None,
+    subsample: str = "uniform",
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[dict]:
     """Yield shuffled fixed-shape batches forever (or for `epochs` passes).
 
     Batch dict matches train/step.py: msa (B,N,L) int32, seq (B,L), aa_idx
-    (B,L), xyz (B,L,3,3) f32 — plus mask (B,L)."""
-    rng = np.random.default_rng(seed)
+    (B,L), xyz (B,L,3,3) f32 — plus mask (B,L).
+
+    Multi-host: pass process_index=jax.process_index(),
+    process_count=jax.process_count() and the SAME seed on every host — all
+    hosts then draw one shared per-epoch permutation and host i consumes the
+    strided slice order[i::process_count], so the global batch is a disjoint
+    cover of the dataset with no inter-host coordination (each host feeds its
+    local devices; the 'dp' mesh axis does the gradient psum). batch_size is
+    the PER-HOST batch. Per-host crop/subsample randomness is decorrelated by
+    folding process_index into the augmentation rng."""
+    if not (0 <= process_index < process_count):
+        raise ValueError(f"process_index {process_index} outside "
+                         f"[0, {process_count})")
+    # shared stream: identical on every host (epoch shuffle must agree)
+    shuffle_rng = np.random.default_rng(seed)
+    # per-host stream: crop offsets / row subsampling diverge across hosts
+    rng = np.random.default_rng((seed, process_index))
     cache: List[Example] = [load_example(a, p) for a, p in pairs]
     epoch = 0
     while epochs is None or epoch < epochs:
-        order = rng.permutation(len(cache))
+        order = shuffle_rng.permutation(len(cache))[process_index::process_count]
         buf: List[Example] = []
         for i in order:
-            buf.append(crop_pad(cache[i], n_seq, crop_len, rng))
+            buf.append(crop_pad(cache[i], n_seq, crop_len, rng,
+                                subsample=subsample))
             if len(buf) == batch_size:
                 yield {
                     "msa": np.stack([e.msa for e in buf]),

@@ -15,7 +15,7 @@ import glob
 import os
 
 from . import RoseTTAFoldConfig, PerformerConfig
-from .data.dataset import batches
+from .data.dataset import batches, prefetch
 from .train.loop import fit
 
 
@@ -57,14 +57,28 @@ def main(argv=None):
     p.add_argument("--n-devices", type=int, default=None)
     p.add_argument("--sp", type=int, default=1)
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--subsample", choices=["uniform", "weighted", "diversity"],
+                   default="uniform",
+                   help="MSA row-selection strategy when alignments are "
+                        "deeper than --n-seq")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches to assemble ahead on a background thread "
+                        "(0 disables)")
     args = p.parse_args(argv)
 
     pairs = find_pairs(args.data_dir)
     print(f"{len(pairs)} training pairs from {args.data_dir}")
     cfg = preset_config(args.preset, args.crop)
+    # multi-host: each jax process loads its own disjoint shard (same seed
+    # everywhere; see data.dataset.batches). Single-host runs are unaffected.
+    import jax
     data = batches(
-        pairs, batch_size=args.batch_size, n_seq=args.n_seq, crop_len=args.crop
+        pairs, batch_size=args.batch_size, n_seq=args.n_seq,
+        crop_len=args.crop, subsample=args.subsample,
+        process_index=jax.process_index(), process_count=jax.process_count(),
     )
+    if args.prefetch:
+        data = prefetch(data, size=args.prefetch)
     fit(
         cfg,
         data,

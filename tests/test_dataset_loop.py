@@ -7,7 +7,9 @@ import pytest
 
 from rosettafold_tpu import PerformerConfig, RoseTTAFoldConfig
 from rosettafold_tpu.data import pdb
-from rosettafold_tpu.data.dataset import batches, crop_pad, load_example
+from rosettafold_tpu.data.dataset import (
+    batches, crop_pad, load_example, prefetch,
+)
 from rosettafold_tpu.data.vocab import AA_ORDER
 from rosettafold_tpu.models.se3 import Fiber, fiber2tensor, g_avg_pooling, g_max_pooling, tensor2fiber
 from rosettafold_tpu.train.loop import fit
@@ -43,6 +45,87 @@ def test_load_and_crop(sample_pairs):
     assert c.msa.shape == (4, 16) and c.xyz.shape == (16, 3, 3)
     c2 = crop_pad(ex, n_seq=10, crop_len=32, rng=rng)  # pad both ways
     assert c2.msa.shape == (10, 32) and not c2.mask[-1]
+
+
+def test_subsample_strategies(sample_pairs):
+    """All strategies keep the query row, return n_seq rows, and the
+    diversity/weighted pickers prefer non-redundant homologs."""
+    ex = load_example(*sample_pairs[0])
+    # build a deep synthetic alignment: 30 near-copies of homolog A plus
+    # 3 genuinely distinct rows — redundancy-aware strategies must not fill
+    # the selection with A-clones
+    rng = np.random.default_rng(1)
+    L = ex.msa.shape[1]
+    query = ex.msa[0]
+    clone = query.copy()
+    clone[:2] = (clone[:2] + 1) % 20
+    clones = np.stack([clone] * 30)
+    distinct = rng.integers(0, 20, (3, L)).astype(np.int32)
+    deep = np.concatenate([query[None], clones, distinct])
+    ex = type(ex)(msa=deep, xyz=np.zeros((L, 3, 3), np.float32),
+                  aa_idx=np.arange(L, dtype=np.int32),
+                  mask=np.ones(L, bool))
+
+    for strat in ("uniform", "weighted", "diversity"):
+        c = crop_pad(ex, n_seq=4, crop_len=L, rng=np.random.default_rng(0),
+                     subsample=strat)
+        assert c.msa.shape == (4, L)
+        assert (c.msa[0] == query).all(), f"{strat} dropped the query row"
+
+    # redundancy-aware strategies prefer the 3 distinct rows over the 30
+    # clones: greedy diversity is deterministic (must take all 3); weighted
+    # is stochastic but heavily tilted (each distinct row carries ~31x a
+    # clone's weight — uniform sampling would average ~0.3 distinct rows)
+    def n_distinct(strat):
+        c = crop_pad(ex, n_seq=4, crop_len=L, rng=np.random.default_rng(0),
+                     subsample=strat)
+        return sum(
+            any((row == d).all() for d in distinct) for row in c.msa[1:])
+
+    assert n_distinct("diversity") == 3
+    assert n_distinct("weighted") >= 2
+
+    with pytest.raises(ValueError, match="subsample"):
+        crop_pad(ex, n_seq=4, crop_len=L, rng=np.random.default_rng(0),
+                 subsample="nope")
+
+
+def test_multihost_sharding(sample_pairs):
+    """Hosts with the same seed draw disjoint example shards that cover each
+    epoch, and batches stay fixed-shape per host."""
+    per_host = [
+        list(batches(sample_pairs, batch_size=1, n_seq=4, crop_len=16,
+                     epochs=2, seed=7, process_index=i, process_count=2))
+        for i in range(2)
+    ]
+    # 3 examples, 2 hosts: host 0 sees 2/epoch, host 1 sees 1/epoch
+    assert len(per_host[0]) == 4 and len(per_host[1]) == 2
+    for bs in per_host:
+        for b in bs:
+            assert b["msa"].shape == (1, 4, 16)
+    with pytest.raises(ValueError, match="process_index"):
+        next(batches(sample_pairs, process_index=2, process_count=2))
+
+
+def test_prefetch_matches_and_propagates_errors(sample_pairs):
+    direct = list(batches(sample_pairs, batch_size=2, n_seq=4, crop_len=16,
+                          epochs=1, seed=3))
+    fetched = list(prefetch(
+        batches(sample_pairs, batch_size=2, n_seq=4, crop_len=16,
+                epochs=1, seed=3), size=2))
+    assert len(direct) == len(fetched)
+    for a, b in zip(direct, fetched):
+        np.testing.assert_array_equal(a["msa"], b["msa"])
+        np.testing.assert_array_equal(a["xyz"], b["xyz"])
+
+    def boom():
+        yield {"ok": 1}
+        raise RuntimeError("loader died")
+
+    it = prefetch(boom(), size=1)
+    assert next(it) == {"ok": 1}
+    with pytest.raises(RuntimeError, match="loader died"):
+        next(it)
 
 
 def test_batches_fixed_shapes(sample_pairs):

@@ -111,12 +111,21 @@ def load_a3m(
 
 
 def msa_features(
-    tokens: np.ndarray, n_seq: int = 64, crop_len: Optional[int] = None
+    tokens: np.ndarray,
+    n_seq: int = 64,
+    crop_len: Optional[int] = None,
+    subsample: str = "first",
+    seed: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Token matrix -> model inputs (msa (1, N, L), seq (1, L), aa_idx (1, L)).
 
-    Keeps the query plus the first n_seq-1 alignment rows (deduplicated),
-    optionally cropping to crop_len residues.
+    Keeps the query plus n_seq-1 alignment rows (deduplicated), optionally
+    cropping to crop_len residues. `subsample` picks WHICH rows when the
+    alignment is deeper than n_seq: "first" (the default — alignment order,
+    i.e. search-tool ranking) or any data.sampling strategy
+    ("uniform"/"weighted"/"diversity" — e.g. diversity-maximized coverage of
+    a deep alignment). `seed` only matters for the stochastic strategies;
+    the default keeps inference deterministic.
     """
     _, uniq_idx = np.unique(
         tokens.view([("", tokens.dtype)] * tokens.shape[1]), return_index=True
@@ -124,7 +133,14 @@ def msa_features(
     keep = np.sort(uniq_idx)
     if keep[0] != 0:
         keep = np.concatenate([[0], keep[keep != 0]])
-    tokens = tokens[keep][:n_seq]
+    tokens = tokens[keep]
+    if subsample == "first" or tokens.shape[0] <= n_seq:
+        tokens = tokens[:n_seq]
+    else:
+        from .sampling import subsample_rows
+
+        tokens = tokens[subsample_rows(
+            tokens, n_seq, np.random.default_rng(seed), subsample)]
 
     if crop_len is not None:
         tokens = tokens[:, :crop_len]

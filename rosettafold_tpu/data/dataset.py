@@ -18,6 +18,7 @@ import numpy as np
 
 from .a3m import load_a3m, msa_features
 from .pdb import read_pdb_backbone
+from .sampling import subsample_rows
 from .vocab import GAP, tokenize
 
 
@@ -41,66 +42,6 @@ def load_example(a3m_path: str, pdb_path: str, chain: Optional[str] = None) -> E
     )
 
 
-def _subsample_rows(
-    msa: np.ndarray,
-    n_seq: int,
-    rng: np.random.Generator,
-    strategy: str,
-    pool: int = 1024,
-) -> np.ndarray:
-    """Pick n_seq-1 homolog row indices (the query, row 0, is always kept).
-
-    uniform   — unbiased random rows (the default; what AlphaFold's
-                "uniform" MSA sampling does between recycles).
-    weighted  — inverse-neighbor-count sequence weighting: each homolog is
-                weighted 1/|{j : id(i,j) >= 0.8}| so redundant near-duplicate
-                clusters don't crowd out the deep, diverse part of the
-                alignment (the standard HHsuite/trRosetta reweighting rule).
-    diversity — greedy max-min Hamming: repeatedly take the homolog farthest
-                (min distance over already-selected rows) from the current
-                selection. Deterministic given the pool; maximizes coverage.
-
-    O(N^2 L) strategies cap the candidate pool at `pool` uniformly-drawn rows
-    first, so pathological 100k-row alignments stay cheap.
-    """
-    N = msa.shape[0]
-    take = n_seq - 1
-    cand = np.arange(1, N)
-    if strategy != "uniform" and cand.size > pool:
-        cand = np.sort(rng.permutation(cand)[:pool])
-
-    if strategy == "uniform":
-        keep = rng.permutation(cand.size)[:take]
-        return np.sort(np.concatenate([[0], cand[keep]]))
-
-    sub = msa[cand]  # (C, L)
-    if strategy == "weighted":
-        # pairwise identity over all columns (gaps count, as in hhfilter)
-        ident = (sub[:, None, :] == sub[None, :, :]).mean(-1)  # (C, C)
-        neighbors = (ident >= 0.8).sum(-1)  # >= 1 (self)
-        w = 1.0 / neighbors
-        p = w / w.sum()
-        keep = rng.choice(cand.size, size=min(take, cand.size),
-                          replace=False, p=p)
-        return np.sort(np.concatenate([[0], cand[keep]]))
-
-    if strategy == "diversity":
-        # greedy max-min Hamming distance, seeded from the query row
-        dist_to_sel = (sub != msa[0][None, :]).mean(-1)  # (C,)
-        chosen: List[int] = []
-        for _ in range(min(take, cand.size)):
-            nxt = int(np.argmax(dist_to_sel))
-            chosen.append(nxt)
-            d_new = (sub != sub[nxt][None, :]).mean(-1)
-            dist_to_sel = np.minimum(dist_to_sel, d_new)
-            dist_to_sel[nxt] = -1.0  # never re-pick
-        return np.sort(np.concatenate([[0], cand[chosen]]))
-
-    raise ValueError(
-        f"unknown subsample strategy {strategy!r} "
-        "(expected 'uniform', 'weighted' or 'diversity')")
-
-
 def crop_pad(
     ex: Example,
     n_seq: int,
@@ -111,7 +52,7 @@ def crop_pad(
     """Random contiguous crop to crop_len (pad with gap tokens / zeros).
 
     `subsample` picks the MSA row-selection strategy when the alignment is
-    deeper than n_seq — see _subsample_rows."""
+    deeper than n_seq — see data.sampling.subsample_rows."""
     N, L = ex.msa.shape
     if L > crop_len:
         start = int(rng.integers(0, L - crop_len + 1))
@@ -125,7 +66,7 @@ def crop_pad(
         mask = np.pad(ex.mask, (0, pad))
 
     if msa.shape[0] >= n_seq:
-        msa = msa[_subsample_rows(msa, n_seq, rng, subsample)]
+        msa = msa[subsample_rows(msa, n_seq, rng, subsample)]
     else:
         msa = np.pad(msa, ((0, n_seq - msa.shape[0]), (0, 0)), constant_values=GAP)
     return Example(msa=msa, xyz=xyz, aa_idx=aa, mask=mask)

@@ -33,6 +33,7 @@ def predict(
     config: RoseTTAFoldConfig = None,
     preset: str = "exact",
     benchmark: bool = False,
+    subsample: str = "first",
 ):
     """Run the full pipeline.
 
@@ -45,7 +46,8 @@ def predict(
     (the TPU serving configuration; BENCHMARKS.md).
     """
     tokens = load_a3m(a3m_path)
-    msa, seq, aa_idx = msa_features(tokens, n_seq=n_seq, crop_len=crop)
+    msa, seq, aa_idx = msa_features(tokens, n_seq=n_seq, crop_len=crop,
+                                    subsample=subsample)
     L = msa.shape[-1]
 
     if config is not None:
@@ -114,12 +116,18 @@ def main(argv=None):
         "--benchmark", action="store_true",
         help="run a second, warm forward so forward_s excludes compile",
     )
+    p.add_argument(
+        "--subsample", default="first",
+        choices=["first", "uniform", "weighted", "diversity"],
+        help="MSA row selection for deep alignments (default: alignment "
+             "order; 'diversity' maximizes homolog coverage)",
+    )
     args = p.parse_args(argv)
 
     t0 = time.perf_counter()
     logits, xyz, plddt, (msa, seq, aa_idx), fwd_s = predict(
         args.a3m, args.params, args.n_seq, args.crop, preset=args.preset,
-        benchmark=args.benchmark,
+        benchmark=args.benchmark, subsample=args.subsample,
     )
     elapsed = time.perf_counter() - t0
 

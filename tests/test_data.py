@@ -72,6 +72,32 @@ def test_msa_features_dedup_and_crop(a3m_file):
     assert (aa_idx[0] == np.arange(5)).all()
 
 
+def test_msa_features_subsample(a3m_file):
+    """Inference-side subsampling: 'first' keeps alignment order (default,
+    deterministic); 'diversity' keeps the query plus maximally distinct rows."""
+    rng = np.random.default_rng(2)
+    L = 12
+    query = rng.integers(0, 20, L).astype(np.int8)
+    clone = query.copy()
+    clone[0] = (clone[0] + 1) % 20
+    distinct = rng.integers(0, 20, (2, L)).astype(np.int8)
+    # clones FIRST so alignment-order selection picks only them
+    toks = np.concatenate([query[None], np.stack([clone] * 10), distinct])
+
+    first, _, _ = a3m.msa_features(toks, n_seq=3, subsample="first")
+    # dedup collapses the 10 identical clones to one -> rows are
+    # query, clone, distinct[0] in alignment order
+    assert (first[0, 0] == query).all() and (first[0, 1] == clone).all()
+
+    div, _, _ = a3m.msa_features(toks, n_seq=3, subsample="diversity")
+    assert (div[0, 0] == query).all()
+    n_far = sum(any((row == d).all() for d in distinct) for row in div[0, 1:])
+    assert n_far == 2, "diversity should pick both distinct homologs"
+
+    with pytest.raises(ValueError, match="subsample"):
+        a3m.msa_features(toks, n_seq=3, subsample="nope")
+
+
 def test_pdb_write_read_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     L = 7

@@ -182,15 +182,32 @@ def _fwd_rule(x, w, pre, dilation, out_dtype, tile):
 
 def _bwd_rule(dilation, out_dtype, tile, res, g):
     x, w, pre = res
+
+    # Recompute with dtype-CONSISTENT conv operands: xla_reference's
+    # preferred_element_type=f32 conv over bf16 inputs has an untransposable
+    # pairing (the f32 cotangent meets the bf16 weights inside the conv
+    # transpose rule and lax rejects the mixed dtypes). Run the conv in
+    # x.dtype — the MXU accumulates f32 internally either way — and let the
+    # trailing astype carry the cotangent casts.
+    def ref(x_, w_, p_):
+        if p_ is not None:
+            inv, shift = p_
+            x_ = jax.nn.elu(
+                x_.astype(jnp.float32) * inv[:, None, None, :]
+                + shift[:, None, None, :]
+            ).astype(x.dtype)
+        out = jax.lax.conv_general_dilated(
+            x_, w_.astype(x.dtype), window_strides=(1, 1), padding="SAME",
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out.astype(out_dtype)
+
     if pre is None:
-        _, vjp = jax.vjp(
-            lambda x_, w_: xla_reference(x_, w_, None, dilation, out_dtype),
-            x, w)
+        _, vjp = jax.vjp(lambda x_, w_: ref(x_, w_, None), x, w)
         dx, dw = vjp(g)
         return dx, dw, None
-    _, vjp = jax.vjp(
-        lambda x_, w_, p_: xla_reference(x_, w_, p_, dilation, out_dtype),
-        x, w, pre)
+    _, vjp = jax.vjp(ref, x, w, pre)
     return vjp(g)
 
 

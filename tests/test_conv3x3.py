@@ -67,6 +67,33 @@ def test_gradients_match_xla(with_pre):
                                    atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("with_pre", [False, True])
+def test_bf16_training_grads(with_pre):
+    """Regression: bf16 activations + f32 weights + f32 output (the resnet
+    training configuration at L>=256) must differentiate — the backward
+    recompute once paired a f32 cotangent with bf16 weights inside the conv
+    transpose and raised. Grads must also track an all-f32 reference to
+    bf16 rounding tolerance."""
+    x, w, inv, shift = _data(B=1, H=8, W=8, C=4, Co=4)
+    xb = x.astype(jnp.bfloat16)
+
+    def loss_fused(x_, w_, i_, s_):
+        p = (i_, s_) if with_pre else None
+        return jnp.sum(jnp.sin(conv3x3_fused(x_, w_, p, 1, jnp.float32, 8)))
+
+    def loss_f32(x_, w_, i_, s_):
+        p = (i_, s_) if with_pre else None
+        return jnp.sum(jnp.sin(xla_reference(
+            x_.astype(jnp.float32), w_, p, 1, jnp.float32)))
+
+    g1 = jax.grad(loss_fused, argnums=(1, 2, 3))(xb, w, inv, shift)
+    g2 = jax.grad(loss_f32, argnums=(1, 2, 3))(xb, w, inv, shift)
+    for a, b in zip(g1, g2):
+        assert a.dtype == b.dtype
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=0.05, rtol=0.05)
+
+
 def test_bf16_out_dtype():
     x, w, _, _ = _data()
     got = conv3x3_fused(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),

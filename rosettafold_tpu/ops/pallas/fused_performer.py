@@ -91,7 +91,16 @@ def _layer_math(x, TR, L, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, p_ref, *,
          * scale).astype(cdt)
     v = jax.lax.dot(x, wv_ref[...], preferred_element_type=f32).astype(cdt)
 
-    valid = (_row_iota(TR * L) % L < l_valid)  # (TR*L, 1)
+    padded = l_valid < L
+    if padded:
+        valid = (_row_iota(TR * L) % L < l_valid)  # (TR*L, 1)
+
+    # ksum (= sum_L phi_k) and den (= phi_q . ksum) ride the existing GEMMs
+    # for free: a ones-column appended to v makes ctx's last column ksum, and
+    # then num's last column is den — dh=64 -> 65 output lanes still round to
+    # one 128-lane MXU tile, while the two (TR*L, m) f32 VPU reductions they
+    # replace were ~40% of the kernel's non-MXU time at L=1024.
+    ones_col = jnp.ones((TR, L, 1), cdt)
 
     att_parts = []
     for h in range(heads):
@@ -102,23 +111,24 @@ def _layer_math(x, TR, L, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, p_ref, *,
             + kernel_eps).astype(cdt)                        # (TR*L, m)
         phi_k = jax.nn.relu(
             jax.lax.dot(kh, proj_t, preferred_element_type=f32)) + kernel_eps
-        phi_k = jnp.where(valid, phi_k, 0.0).astype(cdt)     # zero padded rows
+        if padded:
+            phi_k = jnp.where(valid, phi_k, 0.0)             # zero padded rows
+        phi_k = phi_k.astype(cdt)
         m = phi_q.shape[-1]
         pq3 = phi_q.reshape(TR, L, m)
         pk3 = phi_k.reshape(TR, L, m)
-        v3 = vh.reshape(TR, L, dim_head)
+        v3 = jnp.concatenate(
+            [vh.reshape(TR, L, dim_head), ones_col], axis=-1)
         ctx = jax.lax.dot_general(
             pk3, v3, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32)                      # (TR, m, dh)
-        ksum = jnp.sum(pk3.astype(f32), axis=1, keepdims=True)  # (TR, 1, m)
-        # VPU reduction: the (L,m)x(1,m) contraction trips a Mosaic
-        # verification bug as a bf16 dot, and it is bandwidth-trivial anyway
-        den = jnp.sum(pq3.astype(f32) * ksum, axis=2, keepdims=True)
+            preferred_element_type=f32)                      # (TR, m, dh+1)
         num = jax.lax.dot_general(
             pq3, ctx.astype(cdt), (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32)                      # (TR, L, dh)
+            preferred_element_type=f32)                      # (TR, L, dh+1)
+        den = num[..., dim_head:]
         att_parts.append(
-            (num / jnp.maximum(den, 1e-12)).reshape(TR * L, dim_head))
+            (num[..., :dim_head] / jnp.maximum(den, 1e-12))
+            .reshape(TR * L, dim_head))
     att = jnp.concatenate(att_parts, axis=-1).astype(cdt)    # (TR*L, H*dh)
     out = jax.lax.dot(att, wo_ref[...], preferred_element_type=f32)
     return out + bo_ref[...].astype(f32)
@@ -154,7 +164,16 @@ def _bwd_kernel(x_ref, gy_ref, wq_ref, wk_ref, wv_ref, wo_ref, p_ref,
     go_full = jax.lax.dot(gy.astype(cdt), wot_ref[...],
                           preferred_element_type=f32)   # (L, H*dh)
 
-    valid = (_row_iota(L) < l_valid)
+    padded = l_valid < L
+    if padded:
+        valid = (_row_iota(L) < l_valid)
+
+    # Same GEMM-folding as the forward (see _layer_math): ksum/den ride the
+    # ctx/num GEMMs via a ones-column on v, and the backward's g_ksum term
+    # rides the g_ctx GEMM via a gden-column on gnum — the dh=64 -> 65 output
+    # lanes round to the same 128-lane MXU tile, so all four (L, m) f32 VPU
+    # reductions this kernel used to run per head are free now.
+    ones_col = jnp.ones((L, 1), cdt)
 
     att_parts, gq_parts, gk_parts, gv_parts = [], [], [], []
     for h in range(heads):
@@ -163,40 +182,46 @@ def _bwd_kernel(x_ref, gy_ref, wq_ref, wk_ref, wv_ref, wo_ref, p_ref,
         sq = jax.lax.dot(qh, proj_t, preferred_element_type=f32)   # (L, m)
         sk = jax.lax.dot(kh, proj_t, preferred_element_type=f32)
         phi_q = (jax.nn.relu(sq) + kernel_eps).astype(cdt)
-        phi_k = jnp.where(valid, jax.nn.relu(sk) + kernel_eps, 0.0).astype(cdt)
+        phi_k = jax.nn.relu(sk) + kernel_eps
+        if padded:
+            phi_k = jnp.where(valid, phi_k, 0.0)
+        phi_k = phi_k.astype(cdt)
+        v_ext = jnp.concatenate([vh, ones_col], axis=-1)           # (L, dh+1)
         ctx = jax.lax.dot_general(
-            phi_k, vh, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-        ksum = jnp.sum(phi_k.astype(f32), axis=0, keepdims=True)   # (1, m)
-        den = jnp.sum(phi_q.astype(f32) * ksum, axis=1, keepdims=True)
-        num = jax.lax.dot(phi_q, ctx.astype(cdt), preferred_element_type=f32)
+            phi_k, v_ext, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                            # (m, dh+1)
+        num = jax.lax.dot(phi_q, ctx.astype(cdt),
+                          preferred_element_type=f32)              # (L, dh+1)
+        den = num[:, dim_head:]                                    # (L, 1)
         r = 1.0 / jnp.maximum(den, 1e-12)                          # (L, 1)
-        o_h = num * r                                              # (L, dh) f32
+        o_h = num[:, :dim_head] * r                                # (L, dh) f32
         att_parts.append(o_h)
 
         go = go_full[:, sl]                                        # (L, dh) f32
-        gnum = (go * r).astype(cdt)                                # (L, dh)
+        gnum = go * r                                              # (L, dh) f32
         gden = (-jnp.sum(go * o_h, axis=-1, keepdims=True) * r)    # (L, 1) f32
-        # d phi_q = gnum @ ctx^T + gden * ksum
-        g_pq = (jax.lax.dot_general(
-            gnum, ctx.astype(cdt), (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
-            + gden * ksum)                                         # (L, m) f32
-        g_ctx = jax.lax.dot_general(
-            phi_q, gnum, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)                            # (m, dh)
-        g_ksum = jnp.sum(gden * phi_q.astype(f32), axis=0,
-                         keepdims=True)                            # (1, m)
-        g_pk = (jax.lax.dot_general(
-            vh, g_ctx.astype(cdt), (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
-            + g_ksum)                                              # (L, m)
-        g_pk = jnp.where(valid, g_pk, 0.0)
+        gnum_ext = jnp.concatenate([gnum, gden], axis=-1).astype(cdt)
+        # d phi_q = gnum @ ctx^T + gden * ksum  (ksum = ctx[:, dh])
+        g_pq = jax.lax.dot_general(
+            gnum_ext, ctx.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                            # (L, m) f32
+        # g_ctx_ext[:, :dh] = d ctx; g_ctx_ext[:, dh] = g_ksum
+        g_ctx_ext = jax.lax.dot_general(
+            phi_q, gnum_ext, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                            # (m, dh+1)
+        # d phi_k = vh @ g_ctx^T + g_ksum  (the ones-column of v_ext selects it)
+        g_pk = jax.lax.dot_general(
+            v_ext, g_ctx_ext.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                            # (L, m)
+        if padded:
+            g_pk = jnp.where(valid, g_pk, 0.0)
         g_sq = (g_pq * (sq > 0)).astype(cdt)
         g_sk = (g_pk * (sk > 0)).astype(cdt)
         gq_parts.append(jax.lax.dot(g_sq, proj, preferred_element_type=f32))
         gk_parts.append(jax.lax.dot(g_sk, proj, preferred_element_type=f32))
-        gv_parts.append(jax.lax.dot(phi_k, g_ctx.astype(cdt),
-                                    preferred_element_type=f32))
+        gv_parts.append(jax.lax.dot(
+            phi_k, g_ctx_ext[:, :dim_head].astype(cdt),
+            preferred_element_type=f32))
     att = jnp.concatenate(att_parts, axis=-1).astype(cdt)          # (L, H*dh)
     gq = (jnp.concatenate(gq_parts, axis=-1) * scale).astype(cdt)
     gk = (jnp.concatenate(gk_parts, axis=-1) * scale).astype(cdt)

@@ -59,8 +59,15 @@ class RoseTTAFoldConfig:
     # "xla": plain jnp/XLA ops. "pallas": fused Pallas kernels for hot attention.
     attn_impl: str = "xla"
     # "dense": masked L x L attention for the SE(3) module (exact, best for L<=384).
-    # "gather": (B, L, K) neighborhood gather path for long sequences.
+    # "scatter": exact src-major edge list + segment ops (O(L*S), XLA path).
+    # "bucket": exact incoming sets bucketed into static dst-major slots
+    #           (O(L*C)) — the exact edge rule on the fused-kernel layout.
+    # "gather": (B, L, S) forward-topk approximation for long sequences.
     se3_impl: str = "dense"
+    # "bucket" slot capacity; None = min(2*K, L) + 2*(kmin-1), which covers the
+    # measured reverse-kNN indegree maxima (~2.2*K). Overflow beyond capacity
+    # drops the furthest incoming edges and is sown under "diagnostics".
+    se3_bucket_capacity: Optional[int] = None
     # False = reference-exact kNN compat: keep self edges when the top-k spans
     # all nodes (n_neighbors >= L), matching rosettafold_pytorch.py:844-847.
     # True (default) = always exclude self edges (equivariance-safe; PARITY.md #5).

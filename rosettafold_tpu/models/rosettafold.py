@@ -113,6 +113,7 @@ class ThreeTrackBlock(nn.Module):
     performer_dim_head: int = 64
     attn_impl: str = "xla"
     se3_impl: str = "dense"
+    se3_bucket_capacity: Any = None
     knn_exclude_self: bool = True
     long_chunk: int = None
     conv_chunk: int = None
@@ -144,6 +145,7 @@ class ThreeTrackBlock(nn.Module):
             n_neighbors=self.n_neighbors,
             p_dropout=self.p_dropout,
             se3_impl=self.se3_impl,
+            bucket_capacity=self.se3_bucket_capacity,
             knn_exclude_self=self.knn_exclude_self,
             attn_impl=self.attn_impl,
             name="coord_update_with_msa_and_pair",
@@ -180,6 +182,7 @@ class FinalBlock(nn.Module):
     performer_dim_head: int = 64
     attn_impl: str = "xla"
     se3_impl: str = "dense"
+    se3_bucket_capacity: Any = None
     knn_exclude_self: bool = True
     long_chunk: int = None
     conv_chunk: int = None
@@ -210,6 +213,7 @@ class FinalBlock(nn.Module):
             n_neighbors=self.n_neighbors,
             p_dropout=self.p_dropout,
             se3_impl=self.se3_impl,
+            bucket_capacity=self.se3_bucket_capacity,
             knn_exclude_self=self.knn_exclude_self,
             attn_impl=self.attn_impl,
             name="coord_update_with_msa_and_pair",
@@ -277,6 +281,7 @@ class _ScannedThreeTrack(nn.Module):
     performer_dim_head: int
     attn_impl: str
     se3_impl: str
+    se3_bucket_capacity: Any
     knn_exclude_self: bool
     long_chunk: Any
     conv_chunk: Any
@@ -300,6 +305,7 @@ class _ScannedThreeTrack(nn.Module):
             performer_dim_head=self.performer_dim_head,
             attn_impl=self.attn_impl,
             se3_impl=self.se3_impl,
+            se3_bucket_capacity=self.se3_bucket_capacity,
             knn_exclude_self=self.knn_exclude_self,
             long_chunk=self.long_chunk,
             conv_chunk=self.conv_chunk,
@@ -460,6 +466,7 @@ class RoseTTAFold(nn.Module):
                 cfg.performer.dim_head,
                 cfg.attn_impl,
                 cfg.se3_impl,
+                cfg.se3_bucket_capacity,
                 cfg.knn_exclude_self,
                 cfg.long_chunk,
                 cfg.head_chunk,
@@ -484,6 +491,7 @@ class RoseTTAFold(nn.Module):
                     performer_dim_head=cfg.performer.dim_head,
                     attn_impl=cfg.attn_impl,
                     se3_impl=cfg.se3_impl,
+                    se3_bucket_capacity=cfg.se3_bucket_capacity,
                     knn_exclude_self=cfg.knn_exclude_self,
                     long_chunk=cfg.long_chunk,
                     conv_chunk=cfg.head_chunk,
@@ -505,6 +513,7 @@ class RoseTTAFold(nn.Module):
             performer_dim_head=cfg.performer.dim_head,
             attn_impl=cfg.attn_impl,
             se3_impl=cfg.se3_impl,
+            se3_bucket_capacity=cfg.se3_bucket_capacity,
             knn_exclude_self=cfg.knn_exclude_self,
             long_chunk=cfg.long_chunk,
             conv_chunk=cfg.head_chunk,

@@ -156,9 +156,17 @@ class CoordUpdateWithMsaAndPair(nn.Module):
     # "dense": exact incoming sets on an (L, L) mask (parity path, O(L^2)).
     # "scatter": EXACT src-major edge list with segment-op aggregation,
     #            O(L*S) memory - the exact long-sequence path.
+    # "bucket": EXACT incoming sets bucketed into C static dst-major slots
+    #           (ops/knn.knn_bucket_indices), O(L*C) memory — runs the fused
+    #           Pallas SE(3) kernel on the exact edge rule; residual overflow
+    #           (none on measured coordinate distributions at the default C)
+    #           drops furthest edges and is sown as a diagnostic.
     # "gather": (L, S) forward-topk approximation (fastest long-seq path;
     #           divergence from the exact rule quantified in tests/test_se3.py).
     se3_impl: str = "dense"
+    # "bucket" capacity C; None = min(2*K, L) + 2*(kmin-1) (covers the
+    # measured reverse-kNN indegree maxima, ~2.2*K).
+    bucket_capacity: int = None
     # False = reference-exact compat (self edges kept when top-k spans all nodes,
     # rosettafold_pytorch.py:844-847); True = the repo's equivariance-safe default.
     knn_exclude_self: bool = True
@@ -195,11 +203,21 @@ class CoordUpdateWithMsaAndPair(nn.Module):
             ca_dst = jax.vmap(lambda c, i: c[i])(ca, dst_idx)  # (B, I, S, 3)
             rel_pos = ca_dst - ca[:, :, None, :]  # dst - src
             edge_w = jnp.take_along_axis(edge, dst_idx[..., None], axis=2)
-        elif self.se3_impl == "gather":
-            # (B, L, S) gathered neighborhoods: O(L*S) edge tensors.
-            src_idx, mask = knn.knn_gather_indices(
-                xyz, aa_idx, self.n_neighbors, k_dynamic=k_dynamic
-            )
+        elif self.se3_impl in ("gather", "bucket"):
+            # (B, L, S) dst-major gathered neighborhoods: O(L*S) edge tensors.
+            # "gather" fills the slots with the forward-topk approximation;
+            # "bucket" fills them with the EXACT reverse-topk incoming sets
+            # (capacity-bounded, overflow sown as a diagnostic).
+            if self.se3_impl == "bucket":
+                src_idx, mask, overflow = knn.knn_bucket_indices(
+                    xyz, aa_idx, self.n_neighbors,
+                    capacity=self.bucket_capacity, k_dynamic=k_dynamic,
+                )
+                self.sow("diagnostics", "se3_bucket_overflow", overflow)
+            else:
+                src_idx, mask = knn.knn_gather_indices(
+                    xyz, aa_idx, self.n_neighbors, k_dynamic=k_dynamic
+                )
             ca_src = jax.vmap(lambda c, i: c[i])(ca, src_idx)  # (B, L, S, 3)
             rel_pos = ca[:, :, None, :] - ca_src
             # w[b, j, s] = edge[b, src_idx[b,j,s], j] (edge is src-major (i, j))

@@ -148,6 +148,58 @@ def knn_gather_indices(
     return idx.astype(jnp.int32), valid
 
 
+def knn_bucket_indices(
+    xyz: jnp.ndarray,
+    aa_idx: jnp.ndarray,
+    n_neighbors: int,
+    kmin: int = 9,
+    ca_index: int = 1,
+    capacity: int = None,
+    k_dynamic=None,
+):
+    """EXACT incoming neighborhoods on the dst-major (B, L, C) gather layout.
+
+    The reference edge rule is src-major — i -> j exists iff j is in topk(i)
+    (rosettafold_pytorch.py:844-852) — so the incoming set of a destination j,
+    {i : j in topk(i)} + band, has *variable* size (reverse-kNN indegree).
+    This buckets each destination's true incoming set into C static slots,
+    nearest-first, so the fused SE(3) attention kernel (which needs a static
+    dst-major layout) runs on the exact edge set. Band edges are always kept.
+
+    capacity (C): measured reverse-kNN indegree on chain / compact-globule /
+    uniform point clouds tops out at ~2.2 * K (mean = K by double counting),
+    so the default C = min(2*K, L) + 2*(kmin-1) covers every distribution we
+    measured; any residual overflow drops the FURTHEST incoming edges (a
+    rotation-invariant rule — equivariance is preserved) and is reported.
+
+    Returns (src_idx (B, L, C) int32, valid (B, L, C) bool, overflow (B,) int32
+    = number of true edges beyond capacity, 0 means exact).
+    """
+    B, L = xyz.shape[:2]
+    cond = knn_adjacency(
+        xyz, aa_idx, n_neighbors, kmin, ca_index,
+        exclude_self=True, k_dynamic=k_dynamic,
+    )
+    in_mask = jnp.swapaxes(cond, 1, 2)  # (B, j, i): true incoming sets
+
+    ca = xyz[:, :, ca_index]
+    pdist = ca_pairwise_distance(ca)  # symmetric: d(j, i) = d(i, j)
+    sep = jnp.abs(aa_idx[:, None, :] - aa_idx[:, :, None])
+    band_bonus = jnp.where(sep < kmin, 1e4, 0.0)  # band edges never dropped
+    score = jnp.where(in_mask, band_bonus - pdist, -jnp.inf)
+
+    k = min(n_neighbors, L)
+    C = capacity if capacity is not None else min(2 * k, L) + 2 * (kmin - 1)
+    C = min(C, L)
+    val, src_idx = jax.lax.top_k(score, C)  # (B, j, C), nearest-first
+    valid = jnp.isfinite(val)
+    overflow = (
+        jnp.sum(in_mask, axis=(1, 2), dtype=jnp.int32)
+        - jnp.sum(valid, axis=(1, 2), dtype=jnp.int32)
+    )
+    return src_idx.astype(jnp.int32), valid, overflow
+
+
 def update_relative_positions(rel_layout, xyz, ca_index: int = 1):
     """Recompute rel_pos for a neighborhood layout from new coordinates
     (functional analog of the reference's update_relative_positions,

@@ -291,3 +291,85 @@ def test_gather_vs_dense_divergence_at_small_K():
     print(f"gather-vs-dense K={K} L={L}: state {d_state_diff:.4f} "
           f"(std {scale:.3f}), xyz {d_xyz:.4f}")
     assert d_state_diff < 20.0 * max(scale, 1.0)
+
+
+def test_bucket_edge_set_matches_adjacency_exactly():
+    """knn_bucket_indices reproduces the exact incoming sets of knn_adjacency
+    (reverse-topk + band, reference rosettafold_pytorch.py:844-852) as a
+    static dst-major bucket, with zero overflow at the default capacity."""
+    B, L, K = 2, 64, 8
+    rng = np.random.default_rng(3)
+    xyz = jnp.asarray((rng.normal(size=(B, L, 3, 3)) * 4.0).astype(np.float32))
+    aa = jnp.asarray(np.arange(L)[None].repeat(B, 0))
+
+    cond = np.asarray(knn.knn_adjacency(xyz, aa, K))  # (B, i, j) src-major
+    idx, valid, overflow = knn.knn_bucket_indices(xyz, aa, K)
+    idx, valid, overflow = map(np.asarray, (idx, valid, overflow))
+
+    assert (overflow == 0).all()
+    for b in range(B):
+        for j in range(L):
+            true_in = set(np.nonzero(cond[b, :, j])[0].tolist())
+            bucket_in = set(idx[b, j][valid[b, j]].tolist())
+            assert bucket_in == true_in, (b, j)
+    # no duplicate srcs within a destination's valid slots
+    for b in range(B):
+        for j in range(L):
+            v = idx[b, j][valid[b, j]]
+            assert len(set(v.tolist())) == len(v)
+
+
+def test_bucket_overflow_reported_and_band_kept():
+    """With a deliberately tiny capacity the overflow count is positive and
+    the dropped edges are the furthest ones — band edges always survive."""
+    B, L, K = 1, 48, 16
+    rng = np.random.default_rng(5)
+    xyz = jnp.asarray((rng.normal(size=(B, L, 3, 3)) * 4.0).astype(np.float32))
+    aa = jnp.asarray(np.arange(L)[None])
+
+    idx, valid, overflow = knn.knn_bucket_indices(xyz, aa, K, capacity=18)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    assert int(overflow[0]) > 0
+    # every band neighbor |i-j| < 9 is present in the valid slots
+    for j in range(L):
+        kept = set(idx[0, j][valid[0, j]].tolist())
+        band = {i for i in range(L) if i != j and abs(i - j) < 9}
+        assert band <= kept, j
+
+
+def test_coord_update_bucket_matches_dense():
+    """The bucket path runs the EXACT edge rule on the gather layout: outputs
+    must match the dense (exact-parity) path to fp tolerance at K << L, where
+    the forward-topk gather approximation measurably diverges
+    (test_gather_vs_dense_divergence_at_small_K)."""
+    from rosettafold_tpu.models.structure import CoordUpdateWithMsaAndPair
+
+    B, N, L, K = 1, 3, 48, 8
+    d_msa, d_pair, d_node, d_edge, d_state = 24, 16, 8, 8, 8
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray((rng.normal(size=(B, L, 3, 3)) * 4.0).astype(np.float32))
+    msa = jnp.asarray(rng.normal(size=(B, N, L, d_msa)).astype(np.float32))
+    pair = jnp.asarray(rng.normal(size=(B, L, L, d_pair)).astype(np.float32))
+    aa = jnp.asarray(np.arange(L)[None].repeat(B, 0))
+    seq1h = jnp.asarray(
+        np.eye(21, dtype=np.float32)[rng.integers(0, 21, size=(B, L))]
+    )
+
+    def build(impl, **kw):
+        return CoordUpdateWithMsaAndPair(
+            d_msa, d_pair, d_node, d_edge, d_state, n_neighbors=K,
+            p_dropout=0.0, se3_impl=impl, **kw,
+        )
+
+    dense, bucket = build("dense"), build("bucket")
+    params = dense.init(jax.random.PRNGKey(0), xyz, msa, pair, aa, seq1h)
+    s_d, x_d = jax.jit(dense.apply)(params, xyz, msa, pair, aa, seq1h)
+    s_b, x_b = jax.jit(bucket.apply)(params, xyz, msa, pair, aa, seq1h)
+    np.testing.assert_allclose(np.asarray(s_b), np.asarray(s_d), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(x_b), np.asarray(x_d), atol=2e-4)
+
+    # fused-kernel path on the bucket layout (interpret mode off-TPU) agrees
+    bucket_k = build("bucket", attn_impl="pallas")
+    s_bk, x_bk = jax.jit(bucket_k.apply)(params, xyz, msa, pair, aa, seq1h)
+    np.testing.assert_allclose(np.asarray(s_bk), np.asarray(s_d), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(x_bk), np.asarray(x_d), atol=2e-3)

@@ -46,9 +46,10 @@ def main():
         use_template=use_template,
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         attn_impl=os.environ.get("BENCH_ATTN", "pallas"),
-        # match predict.py's serving default: exact scatter path for long
-        # sequences (gather is an approximation; VERDICT r2 weak #1)
-        se3_impl=os.environ.get("BENCH_SE3", "dense" if L <= 384 else "scatter"),
+        # match predict.py's serving default: exact bucket path for long
+        # sequences (exact edge rule on the fused-SE(3)-kernel layout;
+        # gather is an approximation — VERDICT r2 weak #1)
+        se3_impl=os.environ.get("BENCH_SE3", "dense" if L <= 384 else "bucket"),
         long_chunk=(
             None
             if L <= 384 or os.environ.get("BENCH_CHUNK") == "0"

@@ -7,7 +7,7 @@ rosettafold_pytorch.py:1291-1298), so there is no upstream number to
 compare; rows are recorded in BENCHMARKS.md "Training".
 
 Knobs (env): BENCH_B/N/L, BENCH_DTYPE (bfloat16), BENCH_ATTN (pallas),
-BENCH_SE3 (dense<=384 else scatter), BENCH_CHUNK (long_chunk),
+BENCH_SE3 (dense<=384 else bucket), BENCH_CHUNK (long_chunk),
 BENCH_SCAN (scan_blocks), BENCH_REMAT (default 1), BENCH_ACCUM (accum
 steps, default 1), BENCH_HEAD_CHUNK.
 
@@ -38,7 +38,7 @@ def main():
         max_len=max(260, L + 10),
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         attn_impl=os.environ.get("BENCH_ATTN", "pallas"),
-        se3_impl=os.environ.get("BENCH_SE3", "dense" if L <= 384 else "scatter"),
+        se3_impl=os.environ.get("BENCH_SE3", "dense" if L <= 384 else "bucket"),
         long_chunk=(
             None
             if L <= 384 or os.environ.get("BENCH_CHUNK") == "0"

@@ -55,7 +55,9 @@ def predict(
     elif preset == "fast":
         cfg = RoseTTAFoldConfig(
             max_len=max(260, L), compute_dtype="bfloat16", attn_impl="pallas",
-            scan_blocks=True, se3_impl="dense" if L <= 384 else "scatter",
+            # "bucket" = exact edge rule on the fused-SE(3)-kernel layout —
+            # measured 5% faster e2e than "scatter" at L=1024 (BENCHMARKS.md)
+            scan_blocks=True, se3_impl="dense" if L <= 384 else "bucket",
             head_chunk=512 if L > 1024 else None,
         )
     else:

@@ -227,18 +227,21 @@ def bench_outer_product(L, dtype, N=8, d=32, d_pair=288):
 
 
 def bench_conv_head(L, dtype, C=288, bins=37):
-    """One dilated ResNet tower step: 3x3 conv at (1, L, L, C)."""
+    """One dilated ResNet tower step: 3x3 conv at (1, L, L, C).
+
+    Carry-chained (reps=5) like bench_conv_pallas: a single-call measurement
+    at small L reads the ~30 ms tunnel-fetch floor, not the conv (the
+    round-3 L=128 \"29.4 ms XLA conv\" was exactly that artifact)."""
     ks = jax.random.split(jax.random.PRNGKey(0), 2)
     x = jax.random.normal(ks[0], (1, L, L, C)).astype(dtype)
     w = (jax.random.normal(ks[1], (3, 3, C, C)) * 0.02).astype(dtype)
 
     def conv(x, w):
-        y = jax.lax.conv_general_dilated(
+        return jax.lax.conv_general_dilated(
             x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        return jnp.sum(y)
+            preferred_element_type=jnp.float32).astype(x.dtype)
 
-    sec = _time(conv, x, w)
+    sec = _time(conv, x, w, reps=5, iters=5)
     flops = 2 * L * L * 9 * C * C
     bytes_ = (L * L * C * 2) * x.dtype.itemsize + 9 * C * C * x.dtype.itemsize
     return dict(sec=sec, flops=flops, bytes=bytes_)

@@ -38,9 +38,10 @@ class OuterProductMean(nn.Module):
     chunk_size: int = None
     # "pallas": fused kernel that never materializes the (B, L, L, u*v) outer
     # product at all — the LayerNorm is folded algebraically into the
-    # projection (ops/pallas/outer_product.py). Engaged for L >= fused_min_l.
+    # projection (ops/pallas/outer_product.py). Engaged for L >= fused_min_l
+    # (128 after the r3 e2e A/B: +3.6% at the L=128 headline, BENCHMARKS.md).
     impl: str = "xla"
-    fused_min_l: int = 256
+    fused_min_l: int = 128
     dtype: Any = None
 
     @nn.compact
@@ -101,7 +102,8 @@ class PairUpdateWithMsa(nn.Module):
     # are 2 x 3 GB (BENCHMARKS.md)
     row_chunk: int = None
     # attn_impl == "pallas" engages the fused conv kernel from this L up
-    conv_fused_min_l: int = 256
+    # (128 after the r3 e2e A/B: +9% at the L=128 headline, BENCHMARKS.md)
+    conv_fused_min_l: int = 128
     dtype: Any = None
 
     @nn.compact

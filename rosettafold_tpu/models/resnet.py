@@ -52,9 +52,9 @@ class ResBlock2D(nn.Module):
     dtype: Any = None
     row_chunk: Optional[int] = None
     # "pallas": fused shifted-GEMM conv kernel (ops/pallas/conv3x3.py) for
-    # H >= fused_min_l — 2.2x over the XLA conv at L=1024 (BENCHMARKS.md)
+    # H >= fused_min_l — 2.2x over the XLA conv at L=1024, +9% e2e at L=128 (BENCHMARKS.md)
     conv_impl: str = "xla"
-    fused_min_l: int = 256
+    fused_min_l: int = 128
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):

@@ -65,18 +65,21 @@ def main():
         accum_steps=int(os.environ.get("BENCH_ACCUM", 1)),
         moment_dtype="bfloat16",
     )
-    train_step = make_train_step(cfg, donate=False)
-
-    def run(state):
-        state, metrics = train_step(state, batch, rng)
-        return state, metrics
+    # BENCH_DONATE=1: alias the params/opt-state buffers in place (the
+    # training default). Donation changes XLA's buffer scheduling in
+    # nonmonotone ways at the HBM edge — at L=512 the donate=False schedule
+    # measured ~250 MB lower peak — so it is a knob, not a constant. The
+    # timed loop threads the state like a real fit() loop either way; each
+    # iteration still syncs on a fetched scalar.
+    train_step = make_train_step(
+        cfg, donate=os.environ.get("BENCH_DONATE", "1") == "1")
 
     for _ in range(WARMUP):
-        state2, metrics = run(state)
+        state, metrics = train_step(state, batch, rng)
         float(metrics["total"])  # sync
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        _, metrics = run(state)
+        state, metrics = train_step(state, batch, rng)
         float(metrics["total"])
     ms = (time.perf_counter() - t0) / ITERS * 1e3
 

@@ -29,6 +29,11 @@ class PredictionHead(nn.Module):
     dtype: Any = None
     row_chunk: Optional[int] = None
     conv_impl: str = "xla"
+    # Checkpoint each tower AND each ResBlock within it (training). A single
+    # head-level remat unit recomputes all four towers before backprop, so
+    # every tower's (L, L, C) block intermediates coexist — the dominant HBM
+    # cost of the L=512 train step. Per-tower/per-block remat serializes that.
+    remat_towers: bool = False
 
     @nn.compact
     def __call__(self, pair, deterministic: bool = True):
@@ -36,8 +41,11 @@ class PredictionHead(nn.Module):
         x = nn.Dense(self.in_channels, dtype=self.dtype, name="proj")(x)
         x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
 
+        tower_cls = (nn.remat(ResNet, static_argnums=(2,))
+                     if self.remat_towers else ResNet)
+
         def head(n_bins, name):
-            return ResNet(
+            return tower_cls(
                 self.n_res_blocks,
                 self.in_channels,
                 self.in_channels,
@@ -46,14 +54,15 @@ class PredictionHead(nn.Module):
                 dtype=self.dtype,
                 row_chunk=self.row_chunk,
                 conv_impl=self.conv_impl,
+                remat_blocks=self.remat_towers,
                 name=name,
             )
 
         logits = {}
-        logits["theta"] = head(37, "theta_head")(x, deterministic=deterministic)
-        logits["phi"] = head(19, "phi_head")(x, deterministic=deterministic)
+        logits["theta"] = head(37, "theta_head")(x, deterministic)
+        logits["phi"] = head(19, "phi_head")(x, deterministic)
 
         x_sym = 0.5 * (x + jnp.swapaxes(x, 1, 2))
-        logits["dist"] = head(37, "dist_head")(x_sym, deterministic=deterministic)
-        logits["omega"] = head(37, "omega_head")(x_sym, deterministic=deterministic)
+        logits["dist"] = head(37, "dist_head")(x_sym, deterministic)
+        logits["omega"] = head(37, "omega_head")(x_sym, deterministic)
         return logits

@@ -57,7 +57,7 @@ class ResBlock2D(nn.Module):
     fused_min_l: int = 128
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
         k = (self.kernel_size, self.kernel_size)
         d = (self.dilation, self.dilation)
         conv1 = nn.Conv(
@@ -217,9 +217,15 @@ class ResNet(nn.Module):
     dtype: Any = None
     row_chunk: Optional[int] = None
     conv_impl: str = "xla"
+    # Checkpoint each ResBlock2D (training): a whole remat'd tower backward
+    # otherwise keeps every block's (L, L, C) intermediates alive at once —
+    # the dominant HBM cost of the L=512 train step after the conv-transpose
+    # fix. Per-block remat bounds the peak to one block's internals plus the
+    # inter-block boundary activations.
+    remat_blocks: bool = False
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
         x = nn.Conv(
             self.intermediate_channels, (1, 1), use_bias=False, dtype=self.dtype,
             name="proj_in",
@@ -240,8 +246,10 @@ class ResNet(nn.Module):
             x = nn.elu(x)
             if self.dtype is not None:
                 x = x.astype(self.dtype)
+        block_cls = (nn.remat(ResBlock2D, static_argnums=(2,))
+                     if self.remat_blocks else ResBlock2D)
         for i in range(self.n_res_blocks):
-            x = ResBlock2D(
+            x = block_cls(
                 self.intermediate_channels,
                 kernel_size=3,
                 dilation=self.dilations[i % len(self.dilations)],
@@ -250,5 +258,5 @@ class ResNet(nn.Module):
                 row_chunk=self.row_chunk,
                 conv_impl=self.conv_impl,
                 name=f"block_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
         return nn.Conv(self.out_channels, (1, 1), name="proj_out")(x)

@@ -528,6 +528,7 @@ class RoseTTAFold(nn.Module):
             dtype=dtype,
             row_chunk=cfg.head_chunk,
             conv_impl=cfg.attn_impl,
+            remat_towers=cfg.remat,
             name="prediction_head",
         )(pair, deterministic)
 

@@ -19,9 +19,14 @@ the pre-op (SAME padding pads the activated tensor), and runs the nine
 once per neighboring tile) and the output once — no im2col buffer, no
 layout copies, and the inter-conv elementwise never exists in HBM.
 
-Backward: custom VJP recomputes through the XLA conv (lax.conv_general_dilated
-transpose rules); at training sizes (L <= a few hundred) the XLA path is the
-same cost as the forward and memory is not the constraint.
+Backward: custom VJP with no conv ops and no HBM partial sums — dx runs this
+same Pallas kernel on the cotangent (a conv's input gradient is a conv with
+flipped/transposed weights), dw is nine L^2-contraction GEMMs with (C, Co)
+outputs. The lax.conv_general_dilated transpose rules this replaces
+materialize space-to-depth temps (f32[H, d, W/d+1, C] copies per dilated
+conv) that were the top HBM allocations of the L=512 single-chip train-step
+OOM (see also `shifted_gemm_conv`, the conv-free XLA form kept for parity
+tests).
 """
 
 from __future__ import annotations
@@ -148,8 +153,8 @@ def _forward(x, w, pre, dilation, out_dtype, tile):
 
 
 def xla_reference(x, w, pre, dilation, out_dtype):
-    """Plain-XLA conv with the same pre-op semantics (backward recompute
-    path; equals flax nn.Conv(kernel_dilation=d, padding='SAME'))."""
+    """Plain-XLA conv with the same pre-op semantics (equals flax
+    nn.Conv(kernel_dilation=d, padding='SAME'))."""
     if pre is not None:
         inv, shift = pre
         x = jax.nn.elu(
@@ -163,6 +168,40 @@ def xla_reference(x, w, pre, dilation, out_dtype):
         preferred_element_type=jnp.float32,
     )
     return out.astype(out_dtype)
+
+
+def _shift2d(t, dy, dx):
+    """Zero-padded spatial shift: out[i, j] = t[i+dy, j+dx] (0 out of range).
+    A slice + pad — XLA fuses it into the consuming GEMM."""
+    B, H, W, C = t.shape
+    core = t[:, max(dy, 0): H + min(dy, 0), max(dx, 0): W + min(dx, 0)]
+    return jnp.pad(core, ((0, 0), (max(-dy, 0), max(dy, 0)),
+                          (max(-dx, 0), max(dx, 0)), (0, 0)))
+
+
+def shifted_gemm_conv(x, w, pre, dilation, out_dtype):
+    """The conv as nine shifted GEMMs in plain XLA — same math as the Pallas
+    kernel, differentiable by ordinary AD, no conv ops anywhere (so neither
+    it nor its transpose produces lax.conv's space-to-depth temps). Kept as
+    the executable statement of the algebra the kernel and its custom VJP
+    implement, and as the parity target for their tests."""
+    if pre is not None:
+        inv, shift = pre
+        x = jax.nn.elu(
+            x.astype(jnp.float32) * inv[:, None, None, :]
+            + shift[:, None, None, :]
+        ).astype(x.dtype)
+    d = dilation
+    acc = None
+    for ki in range(3):
+        for kj in range(3):
+            t = jnp.einsum(
+                "bhwc,co->bhwo",
+                _shift2d(x, (ki - 1) * d, (kj - 1) * d),
+                w[ki, kj].astype(x.dtype),
+                preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+    return acc.astype(out_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -181,34 +220,46 @@ def _fwd_rule(x, w, pre, dilation, out_dtype, tile):
 
 
 def _bwd_rule(dilation, out_dtype, tile, res, g):
+    # No conv ops and no HBM partial sums in the backward:
+    #   - dx of a 3x3 dilated SAME conv is itself a 3x3 dilated SAME conv of
+    #     the cotangent with spatially flipped, in/out-transposed weights —
+    #     run the Pallas forward kernel for it, so the nine reverse-shifted
+    #     GEMM partial sums stay in VMEM.
+    #   - dw is nine L^2-contraction GEMMs with (C, Co) outputs.
+    # The previous recompute through lax.conv_general_dilated's transpose
+    # rules materialized space-to-depth temps (f32[H, d, W/d+1, C] copies per
+    # dilated conv) that were the top HBM allocations of the L=512
+    # train-step OOM; the all-GEMM form (shifted_gemm_conv's AD) still held
+    # multiple (L, L, C) f32 dx partial sums alive.
     x, w, pre = res
-
-    # Recompute with dtype-CONSISTENT conv operands: xla_reference's
-    # preferred_element_type=f32 conv over bf16 inputs has an untransposable
-    # pairing (the f32 cotangent meets the bf16 weights inside the conv
-    # transpose rule and lax rejects the mixed dtypes). Run the conv in
-    # x.dtype — the MXU accumulates f32 internally either way — and let the
-    # trailing astype carry the cotangent casts.
-    def ref(x_, w_, p_):
-        if p_ is not None:
+    cdt = x.dtype
+    f32 = jnp.float32
+    if pre is not None:
+        def pre_fn(x_, p_):
             inv, shift = p_
-            x_ = jax.nn.elu(
-                x_.astype(jnp.float32) * inv[:, None, None, :]
-                + shift[:, None, None, :]
-            ).astype(x.dtype)
-        out = jax.lax.conv_general_dilated(
-            x_, w_.astype(x.dtype), window_strides=(1, 1), padding="SAME",
-            rhs_dilation=(dilation, dilation),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        return out.astype(out_dtype)
+            return jax.nn.elu(
+                x_.astype(f32) * inv[:, None, None, :]
+                + shift[:, None, None, :]).astype(cdt)
 
+        a, pre_vjp = jax.vjp(pre_fn, x, pre)
+    else:
+        a = x
+
+    gc = g.astype(cdt)
+    w_t = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3).astype(cdt)
+    da = _forward(gc, w_t, None, dilation, f32, tile)
+    d = dilation
+    dw = jnp.stack([
+        jnp.stack([
+            jnp.einsum("bhwc,bhwo->co",
+                       _shift2d(a, (ki - 1) * d, (kj - 1) * d), gc,
+                       preferred_element_type=f32)
+            for kj in range(3)], axis=0)
+        for ki in range(3)], axis=0).astype(w.dtype)
     if pre is None:
-        _, vjp = jax.vjp(lambda x_, w_: ref(x_, w_, None), x, w)
-        dx, dw = vjp(g)
-        return dx, dw, None
-    _, vjp = jax.vjp(ref, x, w, pre)
-    return vjp(g)
+        return da.astype(x.dtype), dw, None
+    dx, dpre = pre_vjp(da.astype(a.dtype))
+    return dx, dw, dpre
 
 
 conv3x3_fused.defvjp(_fwd_rule, _bwd_rule)

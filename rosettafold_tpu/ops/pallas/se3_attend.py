@@ -31,8 +31,10 @@ into plane layout (gather_h_planes) — the per-layer transposes that made
 the gather path lose to XLA in round 3's first pass no longer exist.
 
 Backward: custom VJP through `xla_reference` (the same math as plain
-einsums); at training sizes the XLA recompute is bandwidth-equivalent to
-the old forward, so memory is unchanged and the fused forward is the win.
+einsums), row-chunked over destination nodes past 128 rows — the
+whole-tensor recompute's per-edge temps have structured tiny trailing dims
+(e.g. f32[J,S,3,3,16]) that pad 8-57x under TPU tiling and dominated the
+L=512 train-step HBM peak; chunking bounds them by C/J (see _bwd_rule).
 """
 
 from __future__ import annotations
@@ -617,13 +619,100 @@ def _fwd_rule(inv, h0p, h1p, qhp, stacked, meta, dense, tile, J):
     return out, (inv, h0p, h1p, qhp, stacked)
 
 
+# Rows per chunk of the recompute backward (None = auto). The whole-tensor
+# xla_reference vjp materializes per-edge temps with structured tiny trailing
+# dims — f32[J,S,3,3,16]-shaped dot_generals pad 8-57x under TPU (4,128)/
+# (8,128) tiling and were the top HBM allocations of the L=512 train-step OOM
+# (19.6 GB; 4 of the top 9 were these temps at ~1 GB padded each). Chunking
+# the backward over destination rows bounds them by C/J. Tests override this
+# to force multi-chunk runs at tiny shapes.
+_BWD_ROW_CHUNK = None
+
+
+def _bwd_chunk_rows(Jp):
+    if _BWD_ROW_CHUNK is not None:
+        return min(_BWD_ROW_CHUNK, Jp)
+    # Below ~128 dst rows (the L<=128 headline training regime) the padded
+    # temps are < ~300 MB — the whole-tensor vjp is fine and faster.
+    return 64 if Jp > 128 else None
+
+
 def _bwd_rule(meta, dense, tile, J, res, g):
     inv, h0p, h1p, qhp, stacked = res
-    _, vjp = jax.vjp(
-        lambda i_, h0_, h1_, q_, s_: _planes_reference(
-            i_, h0_, h1_, q_, s_, meta, dense, tile, J),
-        inv, h0p, h1p, qhp, stacked)
-    return vjp(g)
+    B, Jp, S = inv.maskf.shape
+    C = _bwd_chunk_rows(Jp)
+    if C is None or C >= Jp:
+        _, vjp = jax.vjp(
+            lambda i_, h0_, h1_, q_, s_: _planes_reference(
+                i_, h0_, h1_, q_, s_, meta, dense, tile, J),
+            inv, h0p, h1p, qhp, stacked)
+        return vjp(g)
+
+    # Row-chunked recompute backward. The attention math is independent per
+    # destination row j (the softmax runs over each row's own S slots), so
+    # the vjp of xla_reference over a C-row slice is the exact slice of the
+    # full vjp; only the weight grads (and dense-mode h, which is indexed by
+    # src) sum across chunks.
+    def unprep_diff(i_, h0_, h1_, q_):
+        feat, basis, h, _, qh = _unprep(i_, h0_, h1_, q_, meta, dense, tile)
+        return feat, basis, h, qh
+
+    (feat, basis, h, qh), unprep_vjp = jax.vjp(
+        unprep_diff, inv, h0p, h1p, qhp)
+    mask = inv.maskf > 0.5
+
+    # Pad the output cotangent J -> Jp rows (padded rows are fully masked:
+    # their z is identically 0 and their grads vanish), then Jp -> n*C.
+    Jc = _ceil_to(Jp, C)
+
+    def pad_rows(t, to):
+        return jnp.pad(t, [(0, 0), (0, to - t.shape[1])] +
+                       [(0, 0)] * (t.ndim - 2))
+
+    gp = {d: pad_rows(gd, Jc) for d, gd in g.items()}
+    featp, qhp_f = pad_rows(feat, Jc), pad_rows(qh, Jc)
+    basisp = {k: pad_rows(v, Jc) for k, v in basis.items()}
+    maskp = pad_rows(mask, Jc)
+    h_perrow = not dense
+    hp_ = {d: pad_rows(v, Jc) for d, v in h.items()} if h_perrow else h
+
+    def body(carry, ci):
+        d_feat, d_b, d_h, d_qh, d_stacked = carry
+        j0 = ci * C
+        sl = lambda t: jax.lax.dynamic_slice_in_dim(t, j0, C, axis=1)
+        mask_c = sl(maskp)
+        h_c = {d: sl(v) for d, v in hp_.items()} if h_perrow else hp_
+
+        def f(f_, b_, h_, q_, s_):
+            return xla_reference(f_, b_, h_, mask_c, q_, s_, meta, dense)
+
+        _, vjp_c = jax.vjp(f, sl(featp), {k: sl(v) for k, v in basisp.items()},
+                           h_c, sl(qhp_f), stacked)
+        df, db, dh, dq, ds = vjp_c({d: sl(v) for d, v in gp.items()})
+        upd = lambda buf, v: jax.lax.dynamic_update_slice_in_dim(
+            buf, v.astype(buf.dtype), j0, axis=1)
+        d_feat = upd(d_feat, df)
+        d_b = {k: upd(d_b[k], db[k]) for k in d_b}
+        d_h = ({d: upd(d_h[d], dh[d]) for d in d_h} if h_perrow
+               else jax.tree.map(lambda a, x: a + x.astype(a.dtype), d_h, dh))
+        d_qh = upd(d_qh, dq)
+        d_stacked = jax.tree.map(
+            lambda a, x: a + x.astype(a.dtype), d_stacked, ds)
+        return (d_feat, d_b, d_h, d_qh, d_stacked), None
+
+    zeros = lambda t: jnp.zeros(t.shape, t.dtype)
+    init = (zeros(featp), {k: zeros(v) for k, v in basisp.items()},
+            jax.tree.map(zeros, hp_), zeros(qhp_f),
+            jax.tree.map(zeros, stacked))
+    (d_feat, d_b, d_h, d_qh, d_stacked), _ = jax.lax.scan(
+        body, init, jnp.arange(Jc // C))
+
+    crop = lambda t: t[:, :Jp]
+    d_h = {d: crop(v) for d, v in d_h.items()} if h_perrow else d_h
+    d_inv, d_h0p, d_h1p, d_qhp = unprep_vjp(
+        (crop(d_feat), {k: crop(v) for k, v in d_b.items()}, d_h,
+         crop(d_qh)))
+    return d_inv, d_h0p, d_h1p, d_qhp, d_stacked
 
 
 gse3_attend_planes.defvjp(_fwd_rule, _bwd_rule)

@@ -18,14 +18,20 @@ import jax  # noqa: E402  (import after env setup)
 # config update below overrides it so tests run on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# Persistent compilation cache: OFF by default for the suite. Mid-suite,
-# XLA:CPU's executable.serialize() segfaulted deterministically while writing
-# the cache entry for an interpret-mode Pallas executable (se3_attend, ~test
-# 143 of 178; jax/jaxlib 0.9.0) — reproducible three runs in a row, but not
-# when the same test file runs alone, so it needs accumulated process state.
-# A one-shot CI run gains little from the cache anyway (every entry is a
-# cold write). Opt back in for local iterative runs, where warm READS are the
-# win and crashy writes have already happened:
+# XLA:CPU (jax/jaxlib 0.9.0) segfaults INSIDE backend_compile of an
+# interpret-mode Pallas executable (se3_attend grads) once one process has
+# accumulated ~10 test files' worth of compiled programs — first seen as a
+# cache-writer crash at ~test 143/178, then reproduced with the cache fully
+# disabled at ~test 70 (the same file passes standalone, so it needs
+# accumulated in-process state, not any particular test). Two mitigations:
+# pytest-xdist worker processes (pyproject addopts: -n 4 --dist loadfile)
+# keep each process under the threshold, and the module-boundary
+# jax.clear_caches() fixture below bounds the accumulation for plain
+# single-process runs too.
+#
+# Persistent compilation cache: OFF by default (a one-shot CI run is all
+# cold writes, and the writer also crashed under two concurrent processes).
+# Opt back in for local iterative runs, where warm READS are the win:
 #   RFTPU_TEST_COMPILE_CACHE=1 python -m pytest tests/ -q
 if os.environ.get("RFTPU_TEST_COMPILE_CACHE", "0") == "1":
     # NOT the TPU benches' dir (/tmp/rftpu_jax_cache): concurrent writers
@@ -37,6 +43,14 @@ else:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound the accumulated in-process XLA:CPU state (see the segfault note
+    above). Runs after each test module; within a module caches persist."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture

@@ -1,11 +1,17 @@
 """Fused Pallas 3x3 conv kernel vs the XLA conv (and its gradients)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rosettafold_tpu.ops.pallas.conv3x3 import conv3x3_fused, xla_reference
+from rosettafold_tpu.ops.pallas.conv3x3 import (
+    conv3x3_fused,
+    shifted_gemm_conv,
+    xla_reference,
+)
 
 
 def _data(B=2, H=16, W=16, C=8, Co=8, seed=0):
@@ -39,6 +45,32 @@ def test_matches_flax_conv():
     got = conv3x3_fused(x, w, None, 2, jnp.float32, 8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("dilation", [1, 2, 8])
+@pytest.mark.parametrize("with_pre", [False, True])
+def test_shifted_gemm_matches_xla_conv(dilation, with_pre):
+    """shifted_gemm_conv (the conv-op-free form the custom VJP recomputes
+    through — its transpose has none of lax.conv's space-to-depth temps)
+    equals the XLA conv in forward AND gradients."""
+    x, w, inv, shift = _data()
+    pre = (inv, shift) if with_pre else None
+    got = shifted_gemm_conv(x, w, pre, dilation, jnp.float32)
+    want = xla_reference(x, w, pre, dilation, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss(fn, x_, w_, i_, s_):
+        p = (i_, s_) if with_pre else None
+        return jnp.sum(jnp.sin(fn(x_, w_, p, dilation, jnp.float32)))
+
+    g1 = jax.grad(functools.partial(loss, shifted_gemm_conv),
+                  argnums=(0, 1, 2, 3))(x, w, inv, shift)
+    g2 = jax.grad(functools.partial(loss, xla_reference),
+                  argnums=(0, 1, 2, 3))(x, w, inv, shift)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
 
 
 def test_nondivisible_height_asserts():

@@ -170,6 +170,37 @@ def test_se3_transformer_fused_gather_matches_xla():
         np.testing.assert_allclose(b, a, rtol=1e-3, atol=5e-5)
 
 
+@pytest.mark.parametrize("gather", [False, True])
+def test_chunked_backward_matches_whole(gather, monkeypatch):
+    """The row-chunked recompute backward (engaged automatically past 128 dst
+    rows, where the whole-tensor xla_reference vjp's padded per-edge temps
+    were the top allocations of the L=512 train-step OOM) is the exact slice
+    decomposition of the whole-tensor vjp. Forced on at tiny shapes here with
+    a chunk that does NOT divide the padded row count (exercises the row
+    padding) and compared against the default whole-tensor backward."""
+    from rosettafold_tpu.ops.pallas import se3_attend
+
+    f_in, f_out = jse3.Fiber({0: 8, 1: 3}), jse3.Fiber({0: 8, 1: 8})
+    B, L, S = 1, 16, 8
+    h, h_src, feat, basis, mask = _make_inputs(
+        jax.random.PRNGKey(9), B, L, S, f_in, gather)
+    _, fused = _mods(f_in, f_out, n_heads=2, div=2)
+    params = fused.init(jax.random.PRNGKey(10), h, feat, basis, mask,
+                        h_src=h_src)
+
+    def loss(params, h, feat):
+        out = fused.apply(params, h, feat, basis, mask, h_src=h_src)
+        return sum(jnp.sum(out[d] ** 2) for d in out)
+
+    g_whole = jax.grad(loss, argnums=(0, 1, 2))(params, h, feat)
+    monkeypatch.setattr(se3_attend, "_BWD_ROW_CHUNK", 6)
+    g_chunk = jax.grad(loss, argnums=(0, 1, 2))(params, h, feat)
+    flat_w, _ = jax.tree_util.tree_flatten(g_whole)
+    flat_c, _ = jax.tree_util.tree_flatten(g_chunk)
+    for a, b in zip(flat_w, flat_c):
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
 def test_se3_transformer_fused_matches_xla():
     B, L = 1, 16
     ks = jax.random.split(jax.random.PRNGKey(4), 5)

@@ -29,7 +29,7 @@ def main():
         max_len=max(260, L + 10),
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         attn_impl=os.environ.get("BENCH_ATTN", "pallas"),
-        se3_impl=os.environ.get("BENCH_SE3", "dense" if L <= 384 else "scatter"),
+        se3_impl=os.environ.get("BENCH_SE3", "dense" if L <= 384 else "bucket"),
         long_chunk=None if L <= 384 else int(os.environ.get("BENCH_CHUNK", 128)),
         head_chunk=(int(os.environ["BENCH_HEAD_CHUNK"])
                     if "BENCH_HEAD_CHUNK" in os.environ

@@ -75,7 +75,12 @@ class PerformerSelfAttention(nn.Module):
     dtype: Any = None  # compute dtype for projections/feature matmuls
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True, ln_params=None):
+        """With ln_params=(scale, bias, eps) the module computes the WHOLE
+        pre-LN residual step `x + dropout(attn(LayerNorm(x)))` — on the fused
+        path the LayerNorm and the residual add are folded into the Pallas
+        kernel (one HBM read of x, one write of out; the separate LN and
+        residual elementwise passes over the pair stream never exist)."""
         assert self.attend_axis in (-2, 1)
         if self.attend_axis == 1:
             assert x.ndim == 4
@@ -115,8 +120,29 @@ class PerformerSelfAttention(nn.Module):
             and self.generalized_attention
             and attended_len >= min_l
         )
+        fold_lnres = (
+            ln_params is not None
+            and use_fused
+            and (deterministic or self.p_dropout == 0.0)
+        )
+        residual_in = None
+        if ln_params is not None and not fold_lnres:
+            # off the folded path: apply the LN here and keep the residual
+            # contract (x + dropout(attn(LN(x)))) so callers are agnostic
+            from ..ops.pallas.fused_performer import _ln
+
+            g, b, eps = ln_params
+            residual_in = x
+            x = _ln(x, g, b, eps).astype(x.dtype)
+
+        def finish(out):
+            out = nn.Dropout(self.p_dropout)(out, deterministic=deterministic)
+            return out if residual_in is None else residual_in + out
+
         if use_fused:
             from ..ops.pallas.fused_performer import (
+                fused_ln_performer_residual,
+                fused_ln_performer_residual_axis1,
                 fused_performer_layer,
                 fused_performer_layer_axis1,
             )
@@ -137,16 +163,25 @@ class PerformerSelfAttention(nn.Module):
             # Strided axis-1 reads measured 1.03x at L=128 but 0.93-0.96x at
             # L>=512 (the in-VMEM (L, 8, D)->(8, L, D) relayout + short-burst
             # DMA outweigh the saved swapaxes round trip at long L).
+            if fold_lnres:
+                g, b, eps = ln_params
+                g = g.astype(jnp.float32)
+                b = b.astype(jnp.float32)
             if (self.attend_axis == 1 and x.shape[1] % 128 == 0
                     and x.shape[2] % 8 == 0 and x.shape[1] <= 256):
                 # RowWise without the HBM transpose: strided block reads
+                if fold_lnres:
+                    return fused_ln_performer_residual_axis1(
+                        x.astype(cdt), g, b, wq, wk, wv, wo, bo,
+                        projection, self.dim_head**-0.25, self.kernel_eps,
+                        self.heads, self.dim_head, eps,
+                    )
                 out = fused_performer_layer_axis1(
                     x.astype(cdt), wq, wk, wv, wo, bo,
                     projection, self.dim_head**-0.25, self.kernel_eps,
                     self.heads, self.dim_head,
                 )
-                return nn.Dropout(self.p_dropout)(out,
-                                                  deterministic=deterministic)
+                return finish(out)
             xr = jnp.swapaxes(x, 1, 2) if self.attend_axis == 1 else x
             lead, L = xr.shape[:-2], xr.shape[-2]
             from ..parallel.mesh import tp_shard_map
@@ -154,18 +189,29 @@ class PerformerSelfAttention(nn.Module):
             # under a tp>1 mesh: split the row-problem axis over 'tp'
             # (zero collectives — each row's layer is independent); the
             # whole-layer weights are replicated within the tp group
-            out = tp_shard_map(
-                lambda x3, *w: fused_performer_layer(
-                    x3, *w, self.dim_head**-0.25, self.kernel_eps,
-                    self.heads, self.dim_head,
-                ),
-                xr.astype(cdt).reshape(-1, L, self.dim),
-                wq, wk, wv, wo, bo, projection,
-                shard=(0,),
-            ).reshape(*lead, L, self.dim)
+            if fold_lnres:
+                out = tp_shard_map(
+                    lambda x3, g_, b_, *w: fused_ln_performer_residual(
+                        x3, g_, b_, *w, self.dim_head**-0.25,
+                        self.kernel_eps, self.heads, self.dim_head, eps,
+                    ),
+                    xr.astype(cdt).reshape(-1, L, self.dim),
+                    g, b, wq, wk, wv, wo, bo, projection,
+                    shard=(0,),
+                ).reshape(*lead, L, self.dim)
+            else:
+                out = tp_shard_map(
+                    lambda x3, *w: fused_performer_layer(
+                        x3, *w, self.dim_head**-0.25, self.kernel_eps,
+                        self.heads, self.dim_head,
+                    ),
+                    xr.astype(cdt).reshape(-1, L, self.dim),
+                    wq, wk, wv, wo, bo, projection,
+                    shard=(0,),
+                ).reshape(*lead, L, self.dim)
             if self.attend_axis == 1:
                 out = jnp.swapaxes(out, 1, 2)
-            return nn.Dropout(self.p_dropout)(out, deterministic=deterministic)
+            return out if fold_lnres else finish(out)
 
         if self.attend_axis == 1:
             x = jnp.swapaxes(x, 1, 2)  # XLA fallback: explicit transpose
@@ -195,4 +241,4 @@ class PerformerSelfAttention(nn.Module):
             out = block(x)
         if self.attend_axis == 1:
             out = jnp.swapaxes(out, 1, 2)
-        return nn.Dropout(self.p_dropout)(out, deterministic=deterministic)
+        return finish(out)

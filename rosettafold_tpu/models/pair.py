@@ -278,6 +278,10 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
     # single biggest HLO temp at long L ((L, L, 4*d_pair) bf16 = 9 GB at
     # L=2048); the FF is pointwise over pairs so chunking is exact, no halo.
     ff_chunk: int = None
+    # crossover overrides for the fused kernels (None = module defaults);
+    # tests force the folded paths at tiny L with these
+    fused_favor_min_l: int = None
+    ff_fused_min_l: int = 128
     dtype: Any = None
 
     @nn.compact
@@ -294,6 +298,7 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
             chunk_rows=self.long_chunk,
             attn_impl=self.attn_impl,
             attend_axis=1,  # RowWise; fused path reads strided, no swapaxes
+            fused_favor_min_l=self.fused_favor_min_l,
             dtype=self.dtype,
             name="row_attn",
         )
@@ -306,25 +311,65 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
             feature_seed=self.feature_seed + 1,
             chunk_rows=self.long_chunk,
             attn_impl=self.attn_impl,
+            fused_favor_min_l=self.fused_favor_min_l,
             dtype=self.dtype,
             name="col_attn",
         )
 
+        ln_row = nn.LayerNorm(epsilon=1e-5, name="ln_row")
+        ln_col = nn.LayerNorm(epsilon=1e-5, name="ln_col")
         # RowWise (reference :44-54): attend over axis 1 (i) for each fixed j.
         # attend_axis=1 keeps the (B, i, j, d) layout end to end; on the fused
         # path the kernel reads/writes strided blocks and the swapaxes pair
         # (a full HBM round trip of the pair map each way) never exists.
-        y = nn.LayerNorm(epsilon=1e-5, name="ln_row")(x)
-        x = x + row_attn(y, deterministic=deterministic)
+        if self.attn_impl == "pallas":
+            # Hand the LN params to the attention module: on the fused path
+            # the pre-LN AND the residual add fold into the Pallas kernel
+            # (the separate LN-statistics and residual passes over the pair
+            # stream — ~350 ms/forward at L=1024 in profiles/l1024_r3b —
+            # never exist). The module keeps the same x + attn(LN(x))
+            # contract off the fused path.
+            def lnp(ln):
+                _ = ln(jnp.zeros((1, self.d_pair), jnp.float32))  # bind
+                p = ln.variables["params"]
+                return (p["scale"], p["bias"], 1e-5)
 
-        # ColWise: attend over axis 2 (j) for each fixed i.
-        y = nn.LayerNorm(epsilon=1e-5, name="ln_col")(x)
-        x = x + col_attn(y, deterministic=deterministic)
+            x = row_attn(x, deterministic=deterministic, ln_params=lnp(ln_row))
+            x = col_attn(x, deterministic=deterministic, ln_params=lnp(ln_col))
+        else:
+            y = ln_row(x)
+            x = x + row_attn(y, deterministic=deterministic)
+
+            # ColWise: attend over axis 2 (j) for each fixed i.
+            y = ln_col(x)
+            x = x + col_attn(y, deterministic=deterministic)
 
         ln_ff = nn.LayerNorm(epsilon=1e-5, name="ln_ff")
         ff = FeedForward(self.d_pair, self.d_ff, self.p_dropout, dtype=self.dtype,
                          name="ff")
         L = x.shape[1]
+        if (self.attn_impl == "pallas" and L >= self.ff_fused_min_l
+                and (deterministic or self.p_dropout == 0.0)):
+            # Fused pre-LN FF residual: LN, both GEMMs, ReLU, residual in one
+            # Pallas pass — the (L*L, d_ff) hidden never exists in HBM
+            # (ops/pallas/fused_ff.py), and the kernel is O(tile) memory so
+            # the ff_chunk long-L workaround is unnecessary on this path.
+            from ..ops.pallas.fused_ff import fused_ln_ff_residual
+
+            _ = ln_ff(jnp.zeros((1, self.d_pair), jnp.float32))  # bind
+            _ = ff(jnp.zeros((1, self.d_pair), x.dtype))  # bind (DCE'd)
+            lp = ln_ff.variables["params"]
+            fp = ff.variables["params"]
+            cdt = self.dtype or x.dtype
+            return fused_ln_ff_residual(
+                x, lp["scale"].astype(jnp.float32),
+                lp["bias"].astype(jnp.float32),
+                fp["fc1"]["kernel"].astype(cdt),
+                fp["fc1"]["bias"].astype(jnp.float32),
+                fp["fc2"]["kernel"].astype(cdt),
+                fp["fc2"]["bias"].astype(jnp.float32),
+                1e-5,
+            )
         if self.ff_chunk is not None and L > self.ff_chunk and deterministic:
             c = self.ff_chunk
             out = jnp.zeros(x.shape, x.dtype)
@@ -349,6 +394,8 @@ class PairUpdateWithAxialAttention(nn.Module):
     attn_impl: str = "xla"
     long_chunk: int = None
     ff_chunk: int = None
+    fused_favor_min_l: int = None
+    ff_fused_min_l: int = 128
     dtype: Any = None
 
     @nn.compact
@@ -364,6 +411,8 @@ class PairUpdateWithAxialAttention(nn.Module):
                 attn_impl=self.attn_impl,
                 long_chunk=self.long_chunk,
                 ff_chunk=self.ff_chunk,
+                fused_favor_min_l=self.fused_favor_min_l,
+                ff_fused_min_l=self.ff_fused_min_l,
                 dtype=self.dtype,
                 name=f"layer_{i}",
             )(x, deterministic=deterministic)

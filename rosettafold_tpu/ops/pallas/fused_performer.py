@@ -47,6 +47,18 @@ def _row_iota(L):
     return jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
 
 
+def _ln(x, gamma, beta, eps):
+    """LayerNorm over the last axis, f32 statistics, flax fast-variance
+    formula (mean of squares minus squared mean) so the folded kernel matches
+    nn.LayerNorm bit-for-bit up to reduction order."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    mu2 = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    var = jnp.maximum(mu2 - mu * mu, 0.0)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+
+
 def _fwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, p_ref,
                 o_ref, *, heads, dim_head, scale, kernel_eps, l_valid):
     TR, L, D = x_ref.shape           # TR row-problems per program
@@ -72,6 +84,42 @@ def _fwd_kernel_t(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, p_ref,
         heads=heads, dim_head=dim_head, scale=scale,
         kernel_eps=kernel_eps, l_valid=l_valid)
     o_ref[0] = jnp.swapaxes(out.reshape(TR, L, D), 0, 1).astype(o_ref.dtype)
+
+
+def _fwd_kernel_lnres(x_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                      bo_ref, p_ref, o_ref, *, heads, dim_head, scale,
+                      kernel_eps, l_valid, ln_eps):
+    """LN + attention + residual in one program: o = x + Attn(LN(x)).
+
+    Folding the pre-LN and the residual add into the kernel deletes two full
+    HBM passes over the pair stream per attention step (the separate LN
+    read+write and the residual read+read+write) — ~3 GB of elementwise
+    traffic per call at L=1024 that the l1024_r3b profile attributed to
+    `convert_reduce_fusion` LN statistics and misc loop fusions."""
+    TR, L, D = x_ref.shape
+    x = x_ref[...]
+    y = _ln(x.reshape(TR * L, D), g_ref[0], b_ref[0], ln_eps).astype(x.dtype)
+    out = _layer_math(
+        y, TR, L, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, p_ref,
+        heads=heads, dim_head=dim_head, scale=scale,
+        kernel_eps=kernel_eps, l_valid=l_valid)
+    out = x.astype(jnp.float32) + out.reshape(TR, L, D)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _fwd_kernel_t_lnres(x_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                        bo_ref, p_ref, o_ref, *, heads, dim_head, scale,
+                        kernel_eps, l_valid, ln_eps):
+    """Axis-1 strided-read variant of _fwd_kernel_lnres (see _fwd_kernel_t)."""
+    _, L, TR, D = x_ref.shape
+    x = jnp.swapaxes(x_ref[0], 0, 1)           # (TR, L, D) in VMEM
+    y = _ln(x.reshape(TR * L, D), g_ref[0], b_ref[0], ln_eps).astype(x.dtype)
+    out = _layer_math(
+        y, TR, L, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, p_ref,
+        heads=heads, dim_head=dim_head, scale=scale,
+        kernel_eps=kernel_eps, l_valid=l_valid)
+    out = x.astype(jnp.float32) + out.reshape(TR, L, D)
+    o_ref[0] = jnp.swapaxes(out, 0, 1).astype(o_ref.dtype)
 
 
 def _layer_math(x, TR, L, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, p_ref, *,
@@ -333,6 +381,151 @@ def _forward_axis1(x, wq, wk, wv, wo, bo, projection, scale, kernel_eps,
     return out
 
 
+def _forward_lnres(x, gamma, beta, wq, wk, wv, wo, bo, projection,
+                   scale, kernel_eps, heads, dim_head, ln_eps):
+    R, L, D = x.shape
+    L_pad = max(128, -(-L // 128) * 128)
+    TR = max(1, 512 // L_pad)
+    while R % TR:
+        TR //= 2
+    xp = _pad_rows(x, L_pad)
+    kern = functools.partial(
+        _fwd_kernel_lnres, heads=heads, dim_head=dim_head, scale=scale,
+        kernel_eps=kernel_eps, l_valid=L, ln_eps=ln_eps)
+    hd = heads * dim_head
+    m = projection.shape[0]
+    vec = lambda: pl.BlockSpec((1, D), lambda i: (0, 0))
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((R, L_pad, D), x.dtype),
+        grid=(R // TR,),
+        in_specs=[
+            pl.BlockSpec((TR, L_pad, D), lambda i: (i, 0, 0)),
+            vec(), vec(),
+            pl.BlockSpec((D, hd), lambda i: (0, 0)),
+            pl.BlockSpec((D, hd), lambda i: (0, 0)),
+            pl.BlockSpec((D, hd), lambda i: (0, 0)),
+            pl.BlockSpec((hd, D), lambda i: (0, 0)),
+            vec(),
+            pl.BlockSpec((m, dim_head), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TR, L_pad, D), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(xp, gamma.reshape(1, -1), beta.reshape(1, -1),
+      wq, wk, wv, wo, bo.reshape(1, -1), projection)
+    return out[:, :L]
+
+
+def _forward_axis1_lnres(x, gamma, beta, wq, wk, wv, wo, bo, projection,
+                         scale, kernel_eps, heads, dim_head, ln_eps):
+    B, L1, L2, D = x.shape
+    assert L1 % 128 == 0 and L2 % 8 == 0
+    TR = 8
+    kern = functools.partial(
+        _fwd_kernel_t_lnres, heads=heads, dim_head=dim_head, scale=scale,
+        kernel_eps=kernel_eps, l_valid=L1, ln_eps=ln_eps)
+    hd = heads * dim_head
+    m = projection.shape[0]
+    vec = lambda: pl.BlockSpec((1, D), lambda b, j: (0, 0))
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, L1, L2, D), x.dtype),
+        grid=(B, L2 // TR),
+        in_specs=[
+            pl.BlockSpec((1, L1, TR, D), lambda b, j: (b, 0, j, 0)),
+            vec(), vec(),
+            pl.BlockSpec((D, hd), lambda b, j: (0, 0)),
+            pl.BlockSpec((D, hd), lambda b, j: (0, 0)),
+            pl.BlockSpec((D, hd), lambda b, j: (0, 0)),
+            pl.BlockSpec((hd, D), lambda b, j: (0, 0)),
+            vec(),
+            pl.BlockSpec((m, dim_head), lambda b, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, L1, TR, D), lambda b, j: (b, 0, j, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(x, gamma.reshape(1, -1), beta.reshape(1, -1),
+      wq, wk, wv, wo, bo.reshape(1, -1), projection)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def fused_ln_performer_residual(x, gamma, beta, wq, wk, wv, wo, bo,
+                                projection, scale, kernel_eps, heads,
+                                dim_head, ln_eps):
+    """out = x + FusedPerformerLayer(LayerNorm(x)) in ONE Pallas pass.
+
+    The pre-LN residual attention step of the axial pair track (reference
+    rosettafold_pytorch.py:521-525) with the LayerNorm and the residual add
+    folded into the kernel: HBM traffic is one read of x and one write of
+    out. Backward recomputes LN(x) in XLA (cheap, elementwise), reuses the
+    fused attention backward kernel, and routes the LN cotangent via jax.vjp
+    — exact, and the (rows, L, m) feature maps still never exist in HBM.
+    gamma/beta: (D,) LayerNorm scale/bias; ln_eps static.
+    """
+    return _forward_lnres(x, gamma, beta, wq, wk, wv, wo, bo, projection,
+                          scale, kernel_eps, heads, dim_head, ln_eps)
+
+
+def _fwd_rule_lnres(x, gamma, beta, wq, wk, wv, wo, bo, projection,
+                    scale, kernel_eps, heads, dim_head, ln_eps):
+    out = _forward_lnres(x, gamma, beta, wq, wk, wv, wo, bo, projection,
+                         scale, kernel_eps, heads, dim_head, ln_eps)
+    return out, (x, gamma, beta, wq, wk, wv, wo, projection)
+
+
+def _bwd_rule_lnres(scale, kernel_eps, heads, dim_head, ln_eps, res, gy):
+    x, gamma, beta, wq, wk, wv, wo, projection = res
+    ln_fn = lambda x_, g_, b_: _ln(x_, g_, b_, ln_eps).astype(x.dtype)
+    y, ln_vjp = jax.vjp(ln_fn, x, gamma, beta)
+    dy, dwq, dwk, dwv, dwo, dbo, dproj = _backward(
+        y, gy, wq, wk, wv, wo, projection, scale, kernel_eps,
+        heads, dim_head)
+    dx_ln, dgamma, dbeta = ln_vjp(dy)
+    dx = gy.astype(dx_ln.dtype) + dx_ln
+    return (dx.astype(x.dtype), dgamma, dbeta, dwq, dwk, dwv, dwo, dbo,
+            dproj)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def fused_ln_performer_residual_axis1(x, gamma, beta, wq, wk, wv, wo, bo,
+                                      projection, scale, kernel_eps, heads,
+                                      dim_head, ln_eps):
+    """fused_ln_performer_residual attending over axis 1 of (B, L1, L2, D)
+    with the transpose folded into strided DMA (see fused_performer_layer_axis1)."""
+    return _forward_axis1_lnres(x, gamma, beta, wq, wk, wv, wo, bo,
+                                projection, scale, kernel_eps, heads,
+                                dim_head, ln_eps)
+
+
+def _fwd_rule_lnres_axis1(x, gamma, beta, wq, wk, wv, wo, bo, projection,
+                          scale, kernel_eps, heads, dim_head, ln_eps):
+    out = _forward_axis1_lnres(x, gamma, beta, wq, wk, wv, wo, bo,
+                               projection, scale, kernel_eps, heads,
+                               dim_head, ln_eps)
+    return out, (x, gamma, beta, wq, wk, wv, wo, projection)
+
+
+def _bwd_rule_lnres_axis1(scale, kernel_eps, heads, dim_head, ln_eps,
+                          res, gy):
+    x, gamma, beta, wq, wk, wv, wo, projection = res
+    B, L1, L2, D = x.shape
+    xt = jnp.swapaxes(x, 1, 2).reshape(B * L2, L1, D)
+    gyt = jnp.swapaxes(gy, 1, 2).reshape(B * L2, L1, D)
+    dxt, dgamma, dbeta, dwq, dwk, dwv, dwo, dbo, dproj = _bwd_rule_lnres(
+        scale, kernel_eps, heads, dim_head, ln_eps,
+        (xt, gamma, beta, wq, wk, wv, wo, projection), gyt)
+    dx = jnp.swapaxes(dxt.reshape(B, L2, L1, D), 1, 2)
+    return dx, dgamma, dbeta, dwq, dwk, dwv, dwo, dbo, dproj
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def fused_performer_layer_axis1(x, wq, wk, wv, wo, bo, projection,
                                 scale, kernel_eps, heads, dim_head):
@@ -443,6 +636,9 @@ def _backward(x, gy, wq, wk, wv, wo, projection,
 
 fused_performer_layer.defvjp(_fwd_rule, _bwd_rule)
 fused_performer_layer_axis1.defvjp(_fwd_rule_axis1, _bwd_rule_axis1)
+fused_ln_performer_residual.defvjp(_fwd_rule_lnres, _bwd_rule_lnres)
+fused_ln_performer_residual_axis1.defvjp(
+    _fwd_rule_lnres_axis1, _bwd_rule_lnres_axis1)
 
 
 def xla_reference(x, wq, wk, wv, wo, bo, projection, scale, kernel_eps,

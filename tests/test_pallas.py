@@ -201,3 +201,129 @@ def test_linear_attention_quadratic_association_matches():
     ctx = jnp.einsum("...lm,...le->...me", kf, v)
     ref = jnp.einsum("...me,...lm->...le", ctx, qf) / den[..., None]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_ln_performer_residual_matches_composed():
+    """LN+residual-folded kernel vs the composed ops (LN in XLA, the fused
+    layer's own XLA reference, explicit residual add)."""
+    from rosettafold_tpu.ops.pallas.fused_performer import (
+        _ln,
+        fused_ln_performer_residual,
+        xla_reference,
+    )
+
+    R, L, D, h, dh, m = 4, 20, 24, 2, 16, 32
+    ks = jax.random.split(jax.random.PRNGKey(7), 9)
+    x = jax.random.normal(ks[0], (R, L, D))
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (D,))
+    beta = 0.1 * jax.random.normal(ks[2], (D,))
+    wq = jax.random.normal(ks[3], (D, h * dh)) * 0.2
+    wk = jax.random.normal(ks[4], (D, h * dh)) * 0.2
+    wv = jax.random.normal(ks[5], (D, h * dh)) * 0.2
+    wo = jax.random.normal(ks[6], (h * dh, D)) * 0.2
+    bo = 0.1 * jax.random.normal(ks[7], (D,))
+    proj = jax.random.normal(ks[8], (m, dh))
+    scale = dh**-0.25
+
+    out = jax.jit(fused_ln_performer_residual, static_argnums=(9, 10, 11, 12, 13))(
+        x, gamma, beta, wq, wk, wv, wo, bo, proj, scale, 1e-3, h, dh, 1e-5)
+    y = _ln(x, gamma, beta, 1e-5).astype(x.dtype)
+    want = x + xla_reference(y, wq, wk, wv, wo, bo, proj, scale, 1e-3, h, dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=3e-5)
+
+
+def test_fused_ln_performer_residual_gradients():
+    from rosettafold_tpu.ops.pallas.fused_performer import (
+        _ln,
+        fused_ln_performer_residual,
+        xla_reference,
+    )
+
+    R, L, D, h, dh, m = 2, 18, 24, 2, 16, 32
+    ks = jax.random.split(jax.random.PRNGKey(8), 9)
+    x = jax.random.normal(ks[0], (R, L, D))
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (D,))
+    beta = 0.1 * jax.random.normal(ks[2], (D,))
+    wq = jax.random.normal(ks[3], (D, h * dh)) * 0.2
+    wk = jax.random.normal(ks[4], (D, h * dh)) * 0.2
+    wv = jax.random.normal(ks[5], (D, h * dh)) * 0.2
+    wo = jax.random.normal(ks[6], (h * dh, D)) * 0.2
+    bo = 0.1 * jax.random.normal(ks[7], (D,))
+    proj = jax.random.normal(ks[8], (m, dh))
+    scale = dh**-0.25
+    args = (x, gamma, beta, wq, wk, wv, wo, bo)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_ln_performer_residual(
+            *a, proj, scale, 1e-3, h, dh, 1e-5) ** 2)
+
+    def loss_ref(x_, g_, b_, *w):
+        y = _ln(x_, g_, b_, 1e-5).astype(x_.dtype)
+        return jnp.sum((x_ + xla_reference(
+            y, *w, proj, scale, 1e-3, h, dh)) ** 2)
+
+    g_f = jax.jit(jax.grad(loss_fused, argnums=tuple(range(8))))(*args)
+    g_r = jax.jit(jax.grad(loss_ref, argnums=tuple(range(8))))(*args)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fused_ff_matches_composed():
+    from rosettafold_tpu.ops.pallas.fused_ff import (
+        _xla_composed,
+        fused_ln_ff_residual,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(9), 7)
+    B, L1, L2, D, F = 2, 6, 10, 24, 48
+    x = jax.random.normal(ks[0], (B, L1, L2, D))
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (D,))
+    beta = 0.1 * jax.random.normal(ks[2], (D,))
+    w1 = jax.random.normal(ks[3], (D, F)) * 0.2
+    b1 = 0.1 * jax.random.normal(ks[4], (F,))
+    w2 = jax.random.normal(ks[5], (F, D)) * 0.2
+    b2 = 0.1 * jax.random.normal(ks[6], (D,))
+    out = jax.jit(fused_ln_ff_residual, static_argnums=(7,))(
+        x, gamma, beta, w1, b1, w2, b2, 1e-5)
+    want = _xla_composed(x, gamma, beta, w1, b1, w2, b2, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a, 1e-5) ** 3)
+
+    g_f = jax.jit(jax.grad(loss(fused_ln_ff_residual), argnums=(0, 1, 2, 3, 4, 5, 6)))(
+        x, gamma, beta, w1, b1, w2, b2)
+    g_r = jax.jit(jax.grad(loss(_xla_composed), argnums=(0, 1, 2, 3, 4, 5, 6)))(
+        x, gamma, beta, w1, b1, w2, b2)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_axial_layer_folded_pallas_matches_xla():
+    """PairUpdateWithAxialAttentionLayer with the LN+residual-folded attention
+    kernels AND the fused FF kernel vs the plain XLA module, same params."""
+    from rosettafold_tpu.models.pair import PairUpdateWithAxialAttentionLayer
+
+    B, L, d = 2, 16, 24
+    x = jax.random.normal(jax.random.PRNGKey(10), (B, L, L, d))
+    kw = dict(d_pair=d, d_ff=4 * d, n_heads=2, performer_dim_head=16,
+              p_dropout=0.0)
+    xla_mod = PairUpdateWithAxialAttentionLayer(**kw)
+    pal_mod = PairUpdateWithAxialAttentionLayer(
+        **kw, attn_impl="pallas", fused_favor_min_l=1, ff_fused_min_l=1)
+    params = jinit(xla_mod, jax.random.PRNGKey(11), x)
+    out_xla = japply(xla_mod, params, x)
+    out_pal = japply(pal_mod, params, x)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla),
+                               atol=5e-5)
+
+    def loss(mod):
+        return lambda p, x: jnp.sum(mod.apply(p, x) ** 2)
+
+    g_xla = jax.jit(jax.grad(loss(xla_mod), argnums=(0, 1)))(params, x)
+    g_pal = jax.jit(jax.grad(loss(pal_mod), argnums=(0, 1)))(params, x)
+    np.testing.assert_allclose(np.asarray(g_pal[1]), np.asarray(g_xla[1]),
+                               atol=5e-4)
+    for a, b in zip(jax.tree.leaves(g_xla[0]), jax.tree.leaves(g_pal[0])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4,
+                                   rtol=1e-3)

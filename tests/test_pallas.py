@@ -268,6 +268,59 @@ def test_fused_ln_performer_residual_gradients():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_fused_ln_performer_residual_axis1_matches():
+    """The strided axis-1 LN+residual kernel (production RowWise path at the
+    headline L=128 configs) vs the composed ops, forward AND gradients.
+    L1=128 satisfies the `x.shape[1] % 128 == 0` gate in attention.py, so this
+    exercises _fwd_kernel_t_lnres / _forward_axis1_lnres directly — the layer
+    test at L=16 only reaches the swapaxes fallback (ADVICE r3, medium)."""
+    from rosettafold_tpu.ops.pallas.fused_performer import (
+        _ln,
+        fused_ln_performer_residual_axis1,
+        xla_reference,
+    )
+
+    B, L1, L2, D, h, dh, m = 1, 128, 8, 24, 2, 16, 32
+    ks = jax.random.split(jax.random.PRNGKey(12), 9)
+    x = jax.random.normal(ks[0], (B, L1, L2, D))
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (D,))
+    beta = 0.1 * jax.random.normal(ks[2], (D,))
+    wq = jax.random.normal(ks[3], (D, h * dh)) * 0.2
+    wk = jax.random.normal(ks[4], (D, h * dh)) * 0.2
+    wv = jax.random.normal(ks[5], (D, h * dh)) * 0.2
+    wo = jax.random.normal(ks[6], (h * dh, D)) * 0.2
+    bo = 0.1 * jax.random.normal(ks[7], (D,))
+    proj = jax.random.normal(ks[8], (m, dh))
+    scale = dh**-0.25
+
+    def composed(x_, g_, b_, wq_, wk_, wv_, wo_, bo_):
+        xt = jnp.swapaxes(x_, 1, 2).reshape(B * L2, L1, D)
+        y = _ln(xt, g_, b_, 1e-5).astype(xt.dtype)
+        ot = xt + xla_reference(y, wq_, wk_, wv_, wo_, bo_, proj,
+                                scale, 1e-3, h, dh)
+        return jnp.swapaxes(ot.reshape(B, L2, L1, D), 1, 2)
+
+    args = (x, gamma, beta, wq, wk, wv, wo, bo)
+    out = jax.jit(fused_ln_performer_residual_axis1,
+                  static_argnums=(9, 10, 11, 12, 13))(
+        *args, proj, scale, 1e-3, h, dh, 1e-5)
+    want = jax.jit(composed)(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=3e-5)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_ln_performer_residual_axis1(
+            *a, proj, scale, 1e-3, h, dh, 1e-5) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(composed(*a) ** 2)
+
+    g_f = jax.jit(jax.grad(loss_fused, argnums=tuple(range(8))))(*args)
+    g_r = jax.jit(jax.grad(loss_ref, argnums=tuple(range(8))))(*args)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=1e-3)
+
+
 def test_fused_ff_matches_composed():
     from rosettafold_tpu.ops.pallas.fused_ff import (
         _xla_composed,

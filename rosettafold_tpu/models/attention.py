@@ -125,13 +125,16 @@ class PerformerSelfAttention(nn.Module):
             and use_fused
             and (deterministic or self.p_dropout == 0.0)
         )
+        # Residual contract: when ln_params is set, EVERY return path below
+        # yields x + dropout(attn(LN(x))) — folded into the Pallas kernel on
+        # the fold_lnres path, applied explicitly right here otherwise.
+        g = b = eps = None
+        if ln_params is not None:
+            g, b, eps = ln_params
         residual_in = None
         if ln_params is not None and not fold_lnres:
-            # off the folded path: apply the LN here and keep the residual
-            # contract (x + dropout(attn(LN(x)))) so callers are agnostic
             from ..ops.pallas.fused_performer import _ln
 
-            g, b, eps = ln_params
             residual_in = x
             x = _ln(x, g, b, eps).astype(x.dtype)
 
@@ -164,7 +167,6 @@ class PerformerSelfAttention(nn.Module):
             # L>=512 (the in-VMEM (L, 8, D)->(8, L, D) relayout + short-burst
             # DMA outweigh the saved swapaxes round trip at long L).
             if fold_lnres:
-                g, b, eps = ln_params
                 g = g.astype(jnp.float32)
                 b = b.astype(jnp.float32)
             if (self.attend_axis == 1 and x.shape[1] % 128 == 0

@@ -9,7 +9,7 @@ row / column axes of the L x L pair map.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -17,6 +17,12 @@ import jax.numpy as jnp
 from .attention import FeedForward, PerformerSelfAttention
 from .msa import PositionWiseWeightFactor
 from .resnet import InstanceNorm2d, _conv_rows, _InStats
+
+# One epsilon for every pair-track LayerNorm AND the fused kernels that fold
+# those LNs in (fused OPM / FAVOR+ / FF): the nn.LayerNorm constructors and
+# the (scale, bias, eps) tuples handed to the kernels must agree, or the
+# fused paths silently diverge from the XLA path (ADVICE r3).
+LN_EPS = 1e-5
 
 
 def symmetrize(x: jnp.ndarray) -> jnp.ndarray:
@@ -35,7 +41,7 @@ class OuterProductMean(nn.Module):
     out_features: int
     # rows of i per chunk; bounds the (B, chunk, L, u*v) intermediate so the
     # full (B, L, L, u*v) outer product never materializes (long-sequence path)
-    chunk_size: int = None
+    chunk_size: Optional[int] = None
     # "pallas": fused kernel that never materializes the (B, L, L, u*v) outer
     # product at all — the LayerNorm is folded algebraically into the
     # projection (ops/pallas/outer_product.py). Engaged for L >= fused_min_l
@@ -50,7 +56,7 @@ class OuterProductMean(nn.Module):
         if self.dtype is not None:
             x, y = x.astype(self.dtype), y.astype(self.dtype)
         L = x.shape[2]
-        ln = nn.LayerNorm(epsilon=1e-5, name="ln")
+        ln = nn.LayerNorm(epsilon=LN_EPS, name="ln")
         dense = nn.Dense(self.out_features, dtype=self.dtype, name="to_out")
 
         if self.impl == "pallas" and L >= self.fused_min_l:
@@ -66,7 +72,7 @@ class OuterProductMean(nn.Module):
                 ln.variables["params"]["bias"],
                 dense.variables["params"]["kernel"].astype(x.dtype),
                 dense.variables["params"]["bias"].astype(jnp.float32),
-                1e-5, self.dtype or jnp.float32,
+                LN_EPS, self.dtype or jnp.float32,
             )
 
         def block(x_rows):
@@ -95,12 +101,12 @@ class PairUpdateWithMsa(nn.Module):
     d_pair: int = 288
     n_heads: int = 12
     p_dropout: float = 0.1
-    long_chunk: int = None
+    long_chunk: Optional[int] = None
     attn_impl: str = "xla"  # "pallas" also engages the fused OPM kernel
     # row-chunk the two 3x3 convs at inference (exact halos + global IN
     # stats, models/resnet.py) — at L=2048 the unchunked conv temporaries
     # are 2 x 3 GB (BENCHMARKS.md)
-    row_chunk: int = None
+    row_chunk: Optional[int] = None
     # attn_impl == "pallas" engages the fused conv kernel from this L up
     # (128 after the r3 e2e A/B: +9% at the L=128 headline, BENCHMARKS.md)
     conv_fused_min_l: int = 128
@@ -111,9 +117,9 @@ class PairUpdateWithMsa(nn.Module):
         L = msa.shape[2]
 
         # proj_msa: LN -> Linear -> LN (:434-438)
-        m = nn.LayerNorm(epsilon=1e-5, name="proj_msa_ln_in")(msa)
+        m = nn.LayerNorm(epsilon=LN_EPS, name="proj_msa_ln_in")(msa)
         m = nn.Dense(self.d_proj, name="proj_msa")(m)
-        m = nn.LayerNorm(epsilon=1e-5, name="proj_msa_ln_out")(m)  # (B, N, L, d_proj)
+        m = nn.LayerNorm(epsilon=LN_EPS, name="proj_msa_ln_out")(m)  # (B, N, L, d_proj)
 
         w = PositionWiseWeightFactor(
             self.d_proj, 1, self.p_dropout, name="poswise_weight"
@@ -125,8 +131,8 @@ class PairUpdateWithMsa(nn.Module):
             impl=self.attn_impl, dtype=self.dtype,
             name="outer_product_mean",
         )(m, m * w)
-        ln_coevol = nn.LayerNorm(epsilon=1e-5, name="ln_coevol_feat")
-        ln_pair = nn.LayerNorm(epsilon=1e-5, name="ln_pair")
+        ln_coevol = nn.LayerNorm(epsilon=LN_EPS, name="ln_coevol_feat")
+        ln_pair = nn.LayerNorm(epsilon=LN_EPS, name="ln_pair")
 
         msa_1d = jnp.concatenate([jnp.sum(m, axis=1), m[:, 0]], axis=-1)  # (B, L, 2p)
 
@@ -273,14 +279,14 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
     feature_seed: int = 42
     performer_dim_head: int = 64
     attn_impl: str = "xla"
-    long_chunk: int = None
+    long_chunk: Optional[int] = None
     # row-chunk the pre-LN FF residual at inference: the fc1 hidden is the
     # single biggest HLO temp at long L ((L, L, 4*d_pair) bf16 = 9 GB at
     # L=2048); the FF is pointwise over pairs so chunking is exact, no halo.
-    ff_chunk: int = None
+    ff_chunk: Optional[int] = None
     # crossover overrides for the fused kernels (None = module defaults);
     # tests force the folded paths at tiny L with these
-    fused_favor_min_l: int = None
+    fused_favor_min_l: Optional[int] = None
     ff_fused_min_l: int = 128
     dtype: Any = None
 
@@ -316,8 +322,8 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
             name="col_attn",
         )
 
-        ln_row = nn.LayerNorm(epsilon=1e-5, name="ln_row")
-        ln_col = nn.LayerNorm(epsilon=1e-5, name="ln_col")
+        ln_row = nn.LayerNorm(epsilon=LN_EPS, name="ln_row")
+        ln_col = nn.LayerNorm(epsilon=LN_EPS, name="ln_col")
         # RowWise (reference :44-54): attend over axis 1 (i) for each fixed j.
         # attend_axis=1 keeps the (B, i, j, d) layout end to end; on the fused
         # path the kernel reads/writes strided blocks and the swapaxes pair
@@ -332,7 +338,7 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
             def lnp(ln):
                 _ = ln(jnp.zeros((1, self.d_pair), jnp.float32))  # bind
                 p = ln.variables["params"]
-                return (p["scale"], p["bias"], 1e-5)
+                return (p["scale"], p["bias"], LN_EPS)
 
             x = row_attn(x, deterministic=deterministic, ln_params=lnp(ln_row))
             x = col_attn(x, deterministic=deterministic, ln_params=lnp(ln_col))
@@ -344,7 +350,7 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
             y = ln_col(x)
             x = x + col_attn(y, deterministic=deterministic)
 
-        ln_ff = nn.LayerNorm(epsilon=1e-5, name="ln_ff")
+        ln_ff = nn.LayerNorm(epsilon=LN_EPS, name="ln_ff")
         ff = FeedForward(self.d_pair, self.d_ff, self.p_dropout, dtype=self.dtype,
                          name="ff")
         L = x.shape[1]
@@ -368,7 +374,7 @@ class PairUpdateWithAxialAttentionLayer(nn.Module):
                 fp["fc1"]["bias"].astype(jnp.float32),
                 fp["fc2"]["kernel"].astype(cdt),
                 fp["fc2"]["bias"].astype(jnp.float32),
-                1e-5,
+                LN_EPS,
             )
         if self.ff_chunk is not None and L > self.ff_chunk and deterministic:
             c = self.ff_chunk
@@ -392,9 +398,9 @@ class PairUpdateWithAxialAttention(nn.Module):
     feature_seed: int = 42
     performer_dim_head: int = 64
     attn_impl: str = "xla"
-    long_chunk: int = None
-    ff_chunk: int = None
-    fused_favor_min_l: int = None
+    long_chunk: Optional[int] = None
+    ff_chunk: Optional[int] = None
+    fused_favor_min_l: Optional[int] = None
     ff_fused_min_l: int = 128
     dtype: Any = None
 

@@ -42,8 +42,8 @@ class TwoTrackBlock(nn.Module):
     feature_seed: int = 42
     performer_dim_head: int = 64
     attn_impl: str = "xla"
-    long_chunk: int = None
-    conv_chunk: int = None  # row-chunked pair convs (long-L inference)
+    long_chunk: Optional[int] = None
+    conv_chunk: Optional[int] = None  # row-chunked pair convs (long-L inference)
     dtype: Any = None
 
     @nn.compact
@@ -115,8 +115,8 @@ class ThreeTrackBlock(nn.Module):
     se3_impl: str = "dense"
     se3_bucket_capacity: Any = None
     knn_exclude_self: bool = True
-    long_chunk: int = None
-    conv_chunk: int = None
+    long_chunk: Optional[int] = None
+    conv_chunk: Optional[int] = None
     dtype: Any = None
 
     @nn.compact
@@ -184,8 +184,8 @@ class FinalBlock(nn.Module):
     se3_impl: str = "dense"
     se3_bucket_capacity: Any = None
     knn_exclude_self: bool = True
-    long_chunk: int = None
-    conv_chunk: int = None
+    long_chunk: Optional[int] = None
+    conv_chunk: Optional[int] = None
     dtype: Any = None
 
     @nn.compact

@@ -39,8 +39,8 @@ Features = Dict[int, jnp.ndarray]
 class Fiber:
     """Degree -> multiplicity structure descriptor (reference fibers.py:13-116)."""
 
-    def __init__(self, dictionary: Dict[int, int] = None, num_degrees: int = None,
-                 num_channels: int = None):
+    def __init__(self, dictionary: Optional[Dict[int, int]] = None, num_degrees: Optional[int] = None,
+                 num_channels: Optional[int] = None):
         if dictionary is None:
             dictionary = {d: num_channels for d in range(num_degrees)}
         self.dict = {int(k): int(v) for k, v in sorted(dictionary.items())}

@@ -8,7 +8,7 @@ runs on dense masked neighborhoods (models/se3.py).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -166,7 +166,7 @@ class CoordUpdateWithMsaAndPair(nn.Module):
     se3_impl: str = "dense"
     # "bucket" capacity C; None = min(2*K, L) + 2*(kmin-1) (covers the
     # measured reverse-kNN indegree maxima, ~2.2*K).
-    bucket_capacity: int = None
+    bucket_capacity: Optional[int] = None
     # False = reference-exact compat (self edges kept when top-k spans all nodes,
     # rosettafold_pytorch.py:844-847); True = the repo's equivariance-safe default.
     knn_exclude_self: bool = True

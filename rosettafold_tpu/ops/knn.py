@@ -10,6 +10,8 @@ no host round-trips; the mask feeds masked attention instead of an edge list.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -154,7 +156,7 @@ def knn_bucket_indices(
     n_neighbors: int,
     kmin: int = 9,
     ca_index: int = 1,
-    capacity: int = None,
+    capacity: Optional[int] = None,
     k_dynamic=None,
 ):
     """EXACT incoming neighborhoods on the dst-major (B, L, C) gather layout.

@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +30,7 @@ def predict(
     a3m_path: str,
     params_path: str = None,
     n_seq: int = 64,
-    crop: int = None,
+    crop: Optional[int] = None,
     config: RoseTTAFoldConfig = None,
     preset: str = "exact",
     benchmark: bool = False,

@@ -62,6 +62,27 @@ def _time(fn, *args, iters=20, warmup=3, reps=1):
     return float(np.median(ts)) / reps
 
 
+def bench_matmul_peak(L, dtype, n=8192):
+    """The honest '% of peak' denominator: a carry-chained dense n^3 matmul
+    (c <- c @ b). Round-2's 114.6 TFLOP/s ceiling was measured un-chained;
+    in-context fusions have since been observed above it (an fc1 GEMM at 134
+    TFLOP/s in profiles/l1024_r3b), so the ceiling itself needs the same
+    carry-chained timing discipline as every other family here."""
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    c0 = jax.random.normal(ks[0], (n, n)).astype(dtype)
+    # keep the chain bounded: b scaled well under unit spectral norm
+    b = (jax.random.normal(ks[1], (n, n)) * (0.5 / n ** 0.5)).astype(dtype)
+
+    def step(c):
+        return jax.lax.dot(
+            c, b, preferred_element_type=jnp.float32).astype(dtype)
+
+    sec = _time(step, c0, reps=10, iters=5)
+    flops = 2 * n * n * n
+    bytes_ = 3 * n * n * c0.dtype.itemsize
+    return dict(sec=sec, flops=flops, bytes=bytes_)
+
+
 def bench_tied_attention(L, dtype, B=1, N=8, h=12, d=32):
     """The fused tied-attention kernel: q/k (BH, L, N*d), v same."""
     from rosettafold_tpu.ops.pallas.tied_attention import tied_flash_attention
@@ -181,6 +202,50 @@ def bench_fused_performer_layer(L, dtype, d_pair=288, h=8, dh=64, m=320):
                         + 2 * L * m)
              + 2 * R * L * HD * d_pair)
     bytes_ = 2 * R * L * d_pair * x.dtype.itemsize
+    return dict(sec=sec, flops=flops, bytes=bytes_)
+
+
+def _ff_inputs(L, dtype, D, F):
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    x = (jax.random.normal(ks[0], (1, L, L, D)) * 0.3).astype(dtype)
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (D,))
+    beta = 0.1 * jax.random.normal(ks[2], (D,))
+    w1 = (jax.random.normal(ks[3], (D, F)) * 0.05).astype(dtype)
+    b1 = 0.1 * jax.random.normal(ks[4], (F,))
+    w2 = (jax.random.normal(ks[5], (F, D)) * 0.05).astype(dtype)
+    b2 = 0.1 * jax.random.normal(ks[6], (D,))
+    return x, gamma, beta, w1, b1, w2, b2
+
+
+def bench_ff_xla(L, dtype, D=288, F=1152):
+    """Pre-LN FF residual of the axial pair track on plain XLA: the
+    (L*L, F) hidden round-trips HBM between the two GEMMs."""
+    from rosettafold_tpu.ops.pallas.fused_ff import _xla_composed
+
+    x, gamma, beta, w1, b1, w2, b2 = _ff_inputs(L, dtype, D, F)
+
+    def step(c):
+        return _xla_composed(c, gamma, beta, w1, b1, w2, b2, 1e-5)
+
+    sec = _time(step, x, reps=5, iters=5)
+    flops = 2 * 2 * L * L * D * F
+    bytes_ = (2 * L * L * D + 2 * L * L * F) * x.dtype.itemsize
+    return dict(sec=sec, flops=flops, bytes=bytes_)
+
+
+def bench_ff_pallas(L, dtype, D=288, F=1152):
+    """The fused pre-LN FF residual kernel (ops/pallas/fused_ff.py): LN,
+    both GEMMs, ReLU and the residual in one pass; hidden stays in VMEM."""
+    from rosettafold_tpu.ops.pallas.fused_ff import fused_ln_ff_residual
+
+    x, gamma, beta, w1, b1, w2, b2 = _ff_inputs(L, dtype, D, F)
+
+    def step(c):
+        return fused_ln_ff_residual(c, gamma, beta, w1, b1, w2, b2, 1e-5)
+
+    sec = _time(step, x, reps=5, iters=5)
+    flops = 2 * 2 * L * L * D * F
+    bytes_ = 2 * L * L * D * x.dtype.itemsize
     return dict(sec=sec, flops=flops, bytes=bytes_)
 
 
@@ -341,6 +406,7 @@ def bench_se3_transformer(L, dtype, K=64, impl="xla"):
 
 
 FAMILIES = {
+    "matmul_peak": bench_matmul_peak,
     "tied_attention_pallas": bench_tied_attention,
     "tied_attention_xla": bench_tied_attention_xla,
     "favor_axial": bench_favor_axial,
@@ -348,6 +414,8 @@ FAMILIES = {
     "fused_performer_layer": bench_fused_performer_layer,
     "outer_product": bench_outer_product,
     "fused_opm": bench_fused_opm,
+    "ff_xla": bench_ff_xla,
+    "ff_pallas": bench_ff_pallas,
     "conv3x3_head": bench_conv_head,
     "conv3x3_pallas": bench_conv_pallas,
     "se3_gse3res": bench_se3_block,

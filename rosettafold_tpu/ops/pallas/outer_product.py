@@ -125,6 +125,11 @@ def xla_reference(x, y, gamma, beta, w, b, eps, out_dtype, chunk=128):
     return jnp.concatenate(outs, axis=1)
 
 
+# i-rows recomputed per backward scan step (tests shrink it to cover the
+# scan + ragged-padding path at toy sizes)
+_BWD_CHUNK = 128
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def fused_outer_product_mean(x, y, gamma, beta, w, b, eps=1e-5,
                              out_dtype=jnp.float32):
@@ -138,11 +143,58 @@ def _fwd(x, y, gamma, beta, w, b, eps, out_dtype):
 
 
 def _bwd(eps, out_dtype, res, g):
+    """Chunked-recompute backward, SERIALIZED via lax.scan.
+
+    The r3 backward took jax.vjp of the whole unrolled chunk list; XLA then
+    kept several chunks' (B, c, L, u*u) f32 op intermediates alive at once —
+    6 x 256 MB of the L=512 train-step OOM's 4.84 GB overshoot came from this
+    one op (see BENCHMARKS.md "Remote-compile helper limit"/training notes).
+    scan makes the per-chunk recompute sequential by construction, so the
+    backward's working set is ONE chunk regardless of L."""
     x, y, gamma, beta, w, b = res
-    _, vjp = jax.vjp(
-        lambda *a: xla_reference(*a, eps, out_dtype), x, y, gamma, beta, w, b
-    )
-    return vjp(g)
+    B, N, L, u = x.shape
+    c = _BWD_CHUNK
+
+    def block_fn(x_rows, y_, gamma_, beta_, w_, b_):
+        op = jnp.einsum("bniu,bnjv->bijuv", x_rows, y_)
+        op = op.reshape(*op.shape[:3], u * u).astype(jnp.float32)
+        mu = jnp.mean(op, axis=-1, keepdims=True)
+        var = jnp.mean((op - mu) ** 2, axis=-1, keepdims=True)
+        ln = (op - mu) * jax.lax.rsqrt(var + eps) * gamma_ + beta_
+        return (ln.astype(x.dtype) @ w_ + b_).astype(out_dtype)
+
+    if L <= c:
+        _, vjp = jax.vjp(block_fn, x, y, gamma, beta, w, b)
+        return vjp(g)
+
+    f32 = jnp.float32
+    Lp = -(-L // c) * c
+    if Lp != L:
+        # pad the i-side rows and their cotangent with zeros: vjp is linear
+        # in g, so padded rows contribute exactly zero to every accumulator
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Lp - L), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, Lp - L), (0, 0), (0, 0)))
+
+    def step(carry, i0):
+        dy, dgamma, dbeta, dw, db = carry
+        x_rows = jax.lax.dynamic_slice_in_dim(x, i0, c, axis=2)
+        g_rows = jax.lax.dynamic_slice_in_dim(g, i0, c, axis=1)
+        _, vjp = jax.vjp(block_fn, x_rows, y, gamma, beta, w, b)
+        dxc, dyc, dgc, dbec, dwc, dbc = vjp(g_rows)
+        carry = (dy + dyc.astype(f32), dgamma + dgc.astype(f32),
+                 dbeta + dbec.astype(f32), dw + dwc.astype(f32),
+                 db + dbc.astype(f32))
+        return carry, dxc
+
+    init = (jnp.zeros(y.shape, f32), jnp.zeros(gamma.shape, f32),
+            jnp.zeros(beta.shape, f32), jnp.zeros(w.shape, f32),
+            jnp.zeros(b.shape, f32))
+    (dy, dgamma, dbeta, dw, db), dx_chunks = jax.lax.scan(
+        step, init, jnp.arange(0, Lp, c))
+    # (K, B, N, c, u) -> (B, N, Lp, u) -> drop row padding
+    dx = jnp.moveaxis(dx_chunks, 0, 2).reshape(B, N, Lp, u)[:, :, :L]
+    return (dx, dy.astype(y.dtype), dgamma.astype(gamma.dtype),
+            dbeta.astype(beta.dtype), dw.astype(w.dtype), db.astype(b.dtype))
 
 
 fused_outer_product_mean.defvjp(_fwd, _bwd)

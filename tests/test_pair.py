@@ -84,6 +84,29 @@ def test_outer_product_mean_fused_gradients():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4)
 
 
+def test_outer_product_mean_fused_gradients_scan_bwd(monkeypatch):
+    """The serialized (lax.scan) chunked backward — the long-L training path —
+    including the ragged last chunk (L=10 with chunk 4 pads to 12)."""
+    from rosettafold_tpu.ops.pallas import outer_product
+
+    monkeypatch.setattr(outer_product, "_BWD_CHUNK", 4)
+    B, N, L, u, Dp = 1, 2, 10, 8, 12
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    x = jax.random.normal(ks[0], (B, N, L, u))
+    y = jax.random.normal(ks[1], (B, N, L, u))
+    xla_mod = OuterProductMean(u, Dp)
+    pal_mod = OuterProductMean(u, Dp, impl="pallas", fused_min_l=1)
+    params = jinit(xla_mod, ks[2], x, y)
+
+    def loss(mod):
+        return lambda p, x, y: jnp.sum(mod.apply(p, x, y) ** 2)
+
+    ga = jax.jit(jax.grad(loss(xla_mod), argnums=(0, 1, 2)))(params, x, y)
+    gb = jax.jit(jax.grad(loss(pal_mod), argnums=(0, 1, 2)))(params, x, y)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4)
+
+
 def test_pair_update_with_msa_row_chunked_matches():
     """Decomposed resnet_in + row-chunked convs == the plain path."""
     B, N, L = 1, 3, 20

@@ -39,7 +39,19 @@ def _with_retries(fn, attempts=3, label="compile"):
         try:
             return fn()
         except Exception as e:  # jax.errors.JaxRuntimeError has no stable leaf type
-            transient = "remote_compile" in str(e) or "DEADLINE" in str(e)
+            msg = str(e)
+            # Known-transient tunnel/runtime markers (advisor r4: substring
+            # matching can miss variants — keep this list broad; a retried
+            # permanent failure just fails again, which is cheap with the
+            # compile cache, while a non-retried transient kills the bench).
+            transient = any(
+                marker in msg
+                for marker in (
+                    "remote_compile", "DEADLINE", "DEADLINE_EXCEEDED",
+                    "UNAVAILABLE", "RESOURCE_EXHAUSTED", "response body closed",
+                    "Connection reset", "Socket closed", "INTERNAL",
+                )
+            ) or type(e).__name__ in ("JaxRuntimeError", "XlaRuntimeError")
             if i == attempts - 1 or not transient:
                 raise
             print(f"# {label} attempt {i + 1} failed transiently, retrying: "
@@ -121,27 +133,49 @@ def main():
         )
         return s
 
+    # Config knobs that change what executable the bench measures. Recorded
+    # into BASELINE_MEASURED.json and compared on later runs so vs_baseline
+    # deltas can't silently cross executable configs (advisor r4).
+    bench_config = {
+        "B": B, "N": N, "L": L,
+        "dtype": cfg.compute_dtype,
+        "attn_impl": cfg.attn_impl,
+        "se3_impl": cfg.se3_impl,
+        "scan_blocks": cfg.scan_blocks,
+        "use_template": use_template,
+    }
+
     baseline = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
-            baseline = json.load(f).get("pairs_per_sec")
+            baseline_rec = json.load(f)
+        baseline = baseline_rec.get("pairs_per_sec")
+        recorded = baseline_rec.get("config", {})
+        drift = {
+            k: (recorded[k], v)
+            for k, v in bench_config.items()
+            if k in recorded and recorded[k] != v
+        }
+        if drift:
+            print(f"# WARNING: bench config differs from baseline's: {drift} "
+                  f"— vs_baseline crosses executable configs", flush=True)
 
-    def emit(latency):
+    def emit(latency, provisional=False):
         pairs_per_sec = B * L * L / latency
         vs_baseline = (pairs_per_sec / baseline) if baseline else 1.0
-        print(
-            json.dumps(
-                {
-                    "metric": f"inference residue-pairs/sec/chip (B={B},N={N},"
-                    f"L={L}, {cfg.compute_dtype}+{cfg.attn_impl}"
-                    + (",template" if use_template else "") + ")",
-                    "value": round(pairs_per_sec, 2),
-                    "unit": "pairs/s",
-                    "vs_baseline": round(vs_baseline, 4),
-                }
-            ),
-            flush=True,
-        )
+        record = {
+            "metric": f"inference residue-pairs/sec/chip (B={B},N={N},"
+            f"L={L}, {cfg.compute_dtype}+{cfg.attn_impl}"
+            + (",template" if use_template else "") + ")",
+            "value": round(pairs_per_sec, 2),
+            "unit": "pairs/s",
+            "vs_baseline": round(vs_baseline, 4),
+        }
+        if provisional:
+            # watchdog path: 1-rep post-warmup estimate, not a full ITERS
+            # measurement — marked so BENCH_*.json consumers can tell
+            record["provisional"] = True
+        print(json.dumps(record), flush=True)
         return pairs_per_sec
 
     # Watchdog: the remote tunnel has been observed to stall a single RPC for
@@ -159,7 +193,7 @@ def main():
             if state.get("done"):
                 return
             if time.monotonic() - t_start >= deadline and "latency" in state:
-                emit(state["latency"])
+                emit(state["latency"], provisional=True)
                 os._exit(0)
 
     threading.Thread(target=watchdog, daemon=True).start()
@@ -185,7 +219,7 @@ def main():
                 {
                     "pairs_per_sec": pairs_per_sec,
                     "latency_s": latency,
-                    "config": {"B": B, "N": N, "L": L, "dtype": cfg.compute_dtype},
+                    "config": bench_config,
                     "note": "first honestly-synced measurement of this framework "
                     "(the reference publishes no numbers and cannot run here)",
                 },

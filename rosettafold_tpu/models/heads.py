@@ -10,6 +10,8 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+
+from .dropout import Dropout
 import jax.numpy as jnp
 
 from .resnet import ResNet
@@ -34,12 +36,17 @@ class PredictionHead(nn.Module):
     # every tower's (L, L, C) block intermediates coexist — the dominant HBM
     # cost of the L=512 train step. Per-tower/per-block remat serializes that.
     remat_towers: bool = False
+    # Serialize the four towers' remat'd backwards only above this L:
+    # serializing costs ~5% step time where memory has headroom (measured
+    # 580.8 -> 607.6 ms/step at L=128 config-5). Overridable so tests can
+    # force chaining on at toy sizes.
+    chain_min_l: int = 256
 
     @nn.compact
     def __call__(self, pair, deterministic: bool = True):
         x = nn.LayerNorm(epsilon=1e-5, name="proj_ln")(pair)
         x = nn.Dense(self.in_channels, dtype=self.dtype, name="proj")(x)
-        x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
+        x = Dropout(self.p_dropout)(x, deterministic=deterministic)
 
         tower_cls = (nn.remat(ResNet, static_argnums=(2,))
                      if self.remat_towers else ResNet)
@@ -67,10 +74,11 @@ class PredictionHead(nn.Module):
             fold the add away) makes each tower's input depend on the
             previous tower's output — backward then runs tower-by-tower.
             Forward value is unchanged (z == 0 for finite logits). Gated to
-            L > 256: serializing costs ~5% step time (580.8 -> 607.6 ms/step
-            measured at the L=128 config-5 load, where memory has headroom),
-            and pays off only where the (L, L, C) boundaries dominate HBM."""
-            if not self.remat_towers or prev is None or inp.shape[1] <= 256:
+            L > chain_min_l (default 256): serializing costs ~5% step time
+            where memory has headroom, and pays off only where the (L, L, C)
+            boundaries dominate HBM."""
+            if (not self.remat_towers or prev is None
+                    or inp.shape[1] <= self.chain_min_l):
                 return inp
             s = jnp.sum(prev.astype(jnp.float32))
             z = jnp.where(jnp.isnan(s), 1.0, 0.0).astype(inp.dtype)

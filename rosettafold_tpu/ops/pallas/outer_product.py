@@ -106,18 +106,27 @@ def _forward(x, y, gamma, beta, w, b, eps, out_dtype):
     return out
 
 
+def _row_block(x_rows, y, gamma, beta, w, b, eps, out_dtype):
+    """The OPM math for a chunk of i-rows: outer-product sum over N, LayerNorm
+    over (u*v), projection. Single source of truth for the plain-XLA forward
+    (xla_reference) AND the backward recompute (_bwd) so an eps/dtype change
+    cannot desynchronize them from each other (advisor r4)."""
+    u = x_rows.shape[-1]
+    op = jnp.einsum("bniu,bnjv->bijuv", x_rows, y)
+    op = op.reshape(*op.shape[:3], u * u).astype(jnp.float32)
+    mu = jnp.mean(op, axis=-1, keepdims=True)
+    var = jnp.mean((op - mu) ** 2, axis=-1, keepdims=True)
+    ln = (op - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
+    return (ln.astype(x_rows.dtype) @ w + b).astype(out_dtype)
+
+
 def xla_reference(x, y, gamma, beta, w, b, eps, out_dtype, chunk=128):
     """Row-chunked plain-XLA OPM (backward recompute path; equals
     models/pair.OuterProductMean's math)."""
     B, N, L, u = x.shape
 
     def block(x_rows):
-        op = jnp.einsum("bniu,bnjv->bijuv", x_rows, y)
-        op = op.reshape(*op.shape[:3], u * u).astype(jnp.float32)
-        mu = jnp.mean(op, axis=-1, keepdims=True)
-        var = jnp.mean((op - mu) ** 2, axis=-1, keepdims=True)
-        ln = (op - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
-        return (ln.astype(x.dtype) @ w + b).astype(out_dtype)
+        return _row_block(x_rows, y, gamma, beta, w, b, eps, out_dtype)
 
     if L <= chunk:
         return block(x)
@@ -156,12 +165,7 @@ def _bwd(eps, out_dtype, res, g):
     c = _BWD_CHUNK
 
     def block_fn(x_rows, y_, gamma_, beta_, w_, b_):
-        op = jnp.einsum("bniu,bnjv->bijuv", x_rows, y_)
-        op = op.reshape(*op.shape[:3], u * u).astype(jnp.float32)
-        mu = jnp.mean(op, axis=-1, keepdims=True)
-        var = jnp.mean((op - mu) ** 2, axis=-1, keepdims=True)
-        ln = (op - mu) * jax.lax.rsqrt(var + eps) * gamma_ + beta_
-        return (ln.astype(x.dtype) @ w_ + b_).astype(out_dtype)
+        return _row_block(x_rows, y_, gamma_, beta_, w_, b_, eps, out_dtype)
 
     if L <= c:
         _, vjp = jax.vjp(block_fn, x, y, gamma, beta, w, b)

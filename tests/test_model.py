@@ -237,3 +237,41 @@ def test_prediction_head_row_chunked_matches():
     for k in a:
         np.testing.assert_allclose(
             np.asarray(b[k]), np.asarray(a[k]), atol=2e-5, err_msg=k)
+
+
+def test_prediction_head_tower_chaining_identity():
+    """The long-L tower-serialization chain (heads.py chain()) must be a
+    forward identity (the injected z is exactly 0 for finite logits) and must
+    not leak gradient between towers through the isnan-guarded zero. Forced on
+    at toy L via chain_min_l=0 (advisor r4: the hard-coded 256 gate left the
+    path untestable at unit sizes)."""
+    import numpy as np
+
+    from rosettafold_tpu.models.heads import PredictionHead
+
+    B, L, C = 1, 12, 8
+    pair = jax.random.normal(jax.random.PRNGKey(4), (B, L, L, C))
+    plain = PredictionHead(in_channels=C, n_res_blocks=1, remat_towers=True)
+    chained = PredictionHead(
+        in_channels=C, n_res_blocks=1, remat_towers=True, chain_min_l=0)
+    p = plain.init(jax.random.PRNGKey(5), pair)
+
+    a = jax.jit(lambda p, x: plain.apply(p, x))(p, pair)
+    b = jax.jit(lambda p, x: chained.apply(p, x))(p, pair)
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(b[k]), np.asarray(a[k]), atol=0, err_msg=k)
+
+    def loss(mod):
+        def f(p, x):
+            out = mod.apply(p, x)
+            return sum(jnp.sum(v.astype(jnp.float32) ** 2) for v in out.values())
+        return f
+
+    ga = jax.jit(jax.grad(loss(plain)))(p, pair)
+    gb = jax.jit(jax.grad(loss(chained)))(p, pair)
+    flat_a = jax.tree_util.tree_leaves(ga)
+    flat_b = jax.tree_util.tree_leaves(gb)
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(xb), np.asarray(xa), atol=1e-6)

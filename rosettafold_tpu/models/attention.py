@@ -6,6 +6,8 @@ import os
 from typing import Any, Optional
 
 import flax.linen as nn
+
+from .dropout import Dropout
 import jax.numpy as jnp
 
 from ..ops import performer as favor
@@ -33,7 +35,7 @@ class FeedForward(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         x = nn.Dense(self.d_ff, dtype=self.dtype, name="fc1")(x)
         x = nn.relu(x)
-        x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
+        x = Dropout(self.p_dropout)(x, deterministic=deterministic)
         return nn.Dense(self.d_emb, dtype=self.dtype, name="fc2")(x)
 
 
@@ -139,7 +141,7 @@ class PerformerSelfAttention(nn.Module):
             x = _ln(x, g, b, eps).astype(x.dtype)
 
         def finish(out):
-            out = nn.Dropout(self.p_dropout)(out, deterministic=deterministic)
+            out = Dropout(self.p_dropout)(out, deterministic=deterministic)
             return out if residual_in is None else residual_in + out
 
         if use_fused:

@@ -12,6 +12,8 @@ numerics identical on the defaults):
 from __future__ import annotations
 
 import flax.linen as nn
+
+from .dropout import Dropout
 import jax.numpy as jnp
 
 from ..ops.sinusoidal import sinusoidal_table, gather_pe
@@ -33,7 +35,7 @@ class SinusoidalPositionalEncoding(nn.Module):
         table = sinusoidal_table(self.max_len, self.dim, dtype=x.dtype)
         pe = gather_pe(table, aa_idx)  # (B, L, dim)
         out = x + pe[:, None, :, :]
-        return nn.Dropout(self.p_dropout)(out, deterministic=deterministic)
+        return Dropout(self.p_dropout)(out, deterministic=deterministic)
 
 
 class SinusoidalPositionalEncoding2D(nn.Module):

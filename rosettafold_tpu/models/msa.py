@@ -12,6 +12,8 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import flax.linen as nn
+
+from .dropout import Dropout
 import jax.numpy as jnp
 
 from .attention import FeedForward, PerformerSelfAttention
@@ -51,7 +53,7 @@ class PositionWiseWeightFactor(nn.Module):
                             preferred_element_type=jnp.float32)
         att = nn.softmax(logits, axis=-1).astype(q.dtype)  # over N
         att = jnp.transpose(att, (0, 3, 2, 1))[..., None]  # (B, N, h, L, 1)
-        return nn.Dropout(self.p_dropout)(att, deterministic=deterministic)
+        return Dropout(self.p_dropout)(att, deterministic=deterministic)
 
 
 class SoftTiedAttentionOverResidues(nn.Module):
@@ -111,7 +113,7 @@ class SoftTiedAttentionOverResidues(nn.Module):
             ).astype(v.dtype).reshape(B, N, L, self.d_msa)
 
         out = nn.Dense(self.d_msa, dtype=self.dtype, name="to_out")(out)
-        out = nn.Dropout(self.p_dropout)(out, deterministic=deterministic)
+        out = Dropout(self.p_dropout)(out, deterministic=deterministic)
 
         if self.return_att:
             att_sym = 0.5 * (att + jnp.swapaxes(att, -1, -2))
@@ -172,13 +174,13 @@ class EncoderLayer(nn.Module):
             x, att = attn(x, deterministic=deterministic)
         else:
             x = attn(x, deterministic=deterministic)
-        x = orig + nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
+        x = orig + Dropout(self.p_dropout)(x, deterministic=deterministic)
 
         # FF residual: LN -> FF -> Dropout, added to x (reference :326-332).
         y = nn.LayerNorm(epsilon=1e-5, name="ff_ln")(x)
         y = FeedForward(self.d_msa, self.d_ff, self.p_dropout, dtype=self.dtype,
                         name="ff")(y, deterministic=deterministic)
-        y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+        y = Dropout(self.p_dropout)(y, deterministic=deterministic)
         x = x + y
 
         if self.return_att:
@@ -269,7 +271,7 @@ class MsaUpdateWithPairLayer(nn.Module):
         p = 0.5 * (pair + jnp.swapaxes(pair, 1, 2))
         p = nn.LayerNorm(epsilon=1e-5, name="pair_ln")(p)
         logits = nn.Dense(h, name="pair2att")(p)
-        logits = nn.Dropout(self.p_dropout)(logits, deterministic=deterministic)
+        logits = Dropout(self.p_dropout)(logits, deterministic=deterministic)
         att = nn.softmax(jnp.transpose(logits, (0, 3, 1, 2)), axis=-1)  # (B,h,i,j)
 
         # msa2value: LN -> Linear -> heads.
@@ -282,14 +284,14 @@ class MsaUpdateWithPairLayer(nn.Module):
             "bhij,bnjhd->bnihd", att.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         ).astype(v.dtype).reshape(B, N, L, self.d_msa)
-        upd = nn.Dropout(self.p_dropout)(upd, deterministic=deterministic)
+        upd = Dropout(self.p_dropout)(upd, deterministic=deterministic)
 
         x = msa + upd
         # ff: Residual(LN -> FF(d_msa, d_msa)) with dropout on the branch (:578-584).
         y = nn.LayerNorm(epsilon=1e-5, name="ff_ln")(x)
         y = FeedForward(self.d_msa, self.d_msa, self.p_dropout, dtype=self.dtype,
                         name="ff")(y, deterministic=deterministic)
-        y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+        y = Dropout(self.p_dropout)(y, deterministic=deterministic)
         return x + y
 
 

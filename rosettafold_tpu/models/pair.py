@@ -12,6 +12,8 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+
+from .dropout import Dropout
 import jax.numpy as jnp
 
 from .attention import FeedForward, PerformerSelfAttention
@@ -210,7 +212,7 @@ class PairUpdateWithMsa(nn.Module):
             else:
                 a = nn.elu(y1.astype(jnp.float32) * inv1[:, None, None, :]
                            + shift1[:, None, None, :])
-                a = nn.Dropout(self.p_dropout)(a, deterministic=False)
+                a = Dropout(self.p_dropout)(a, deterministic=False)
                 y2 = conv3x3_fused(a.astype(ct), k2, None, 1, ct, tile)
             inv2, shift2 = _InStats(self.d_pair, name="in2",
                                     return_affine=True)(y2)
@@ -257,7 +259,7 @@ class PairUpdateWithMsa(nn.Module):
         y = conv1(x)
         y = InstanceNorm2d(self.d_pair, name="in1")(y)
         y = nn.elu(y)
-        y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+        y = Dropout(self.p_dropout)(y, deterministic=deterministic)
         y = conv2(y)
         y = InstanceNorm2d(self.d_pair, name="in2")(y)
         out = nn.elu(x.astype(jnp.float32) + y)

@@ -10,6 +10,8 @@ from __future__ import annotations
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+
+from .dropout import Dropout
 import jax.numpy as jnp
 
 
@@ -95,7 +97,7 @@ class ResBlock2D(nn.Module):
             else:
                 a = nn.elu(y1.astype(jnp.float32) * inv1[:, None, None, :]
                            + shift1[:, None, None, :])
-                a = nn.Dropout(self.p_dropout)(a, deterministic=False)
+                a = Dropout(self.p_dropout)(a, deterministic=False)
                 y2 = conv3x3_fused(a.astype(cdt), k2, None, self.dilation,
                                    cdt, tile)
             in2 = _InStats(self.channels, name="in2", return_affine=True)
@@ -138,7 +140,7 @@ class ResBlock2D(nn.Module):
         y = conv1(x)
         y = InstanceNorm2d(self.channels, name="in1")(y)
         y = nn.elu(y)
-        y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+        y = Dropout(self.p_dropout)(y, deterministic=deterministic)
         y = conv2(y)
         y = InstanceNorm2d(self.channels, name="in2")(y)
         out = nn.elu(x.astype(jnp.float32) + y)

@@ -11,6 +11,8 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+
+from .dropout import Dropout
 import jax
 import jax.numpy as jnp
 
@@ -54,7 +56,7 @@ class GraphTransformer(nn.Module):
         if edge_mask is not None:
             att = att + (1.0 - edge_mask[:, None].astype(att.dtype)) * -1e9
         att = nn.softmax(att, axis=-1).astype(v.dtype)
-        att = nn.Dropout(self.p_dropout)(att, deterministic=deterministic)
+        att = Dropout(self.p_dropout)(att, deterministic=deterministic)
 
         upd = jnp.einsum("bhij,bhjd->bhid", att, v,
                          preferred_element_type=jnp.float32)

@@ -68,9 +68,15 @@ def predict(
     msa_j, seq_j, aa_j = jnp.asarray(msa), jnp.asarray(seq), jnp.asarray(aa_idx)
     if params_path:
         import dataclasses
+        import os
 
         from .train.checkpoint import restore
         from .utils.scan_convert import adapt_params
+
+        # accept the same directory train_cli's --ckpt-dir takes: fit() saves
+        # the TrainState under <ckpt_dir>/latest
+        if os.path.isdir(os.path.join(params_path, "latest")):
+            params_path = os.path.join(params_path, "latest")
 
         def _target(scan_blocks: bool):
             m = (model if scan_blocks == cfg.scan_blocks
@@ -80,15 +86,32 @@ def predict(
                 m.init, jax.random.PRNGKey(0), msa_j, seq_j, aa_j)
             return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
+        variables = None
         try:
-            variables = restore(params_path, target=_target(cfg.scan_blocks))
+            # structure-free orbax read first: handles both bare-variables
+            # checkpoints and full TrainState saves (params + opt_state)
+            raw = restore(params_path, target=None)
+            if isinstance(raw, dict) and "opt_state" in raw:
+                raw = {"params": raw["params"]}   # trained checkpoint
+            if isinstance(raw, dict) and "params" in raw:
+                variables = jax.tree.map(jnp.asarray, raw)
+                # stack/unstack the block layout if the checkpoint's differs
+                # from the serving config's (no-op when it matches)
+                variables = adapt_params(
+                    variables, want_scanned=cfg.scan_blocks)
         except Exception:
-            # checkpoint saved in the other block layout (e.g. trained with
-            # --preset full, served with --preset fast): restore against the
-            # alternate target and stack/unstack (utils/scan_convert)
-            variables = restore(
-                params_path, target=_target(not cfg.scan_blocks))
-            variables = adapt_params(variables, want_scanned=cfg.scan_blocks)
+            variables = None
+        if variables is None:
+            # msgpack fallback (needs a target pytree): try the serving
+            # layout, then the alternate block layout + convert
+            try:
+                variables = restore(params_path,
+                                    target=_target(cfg.scan_blocks))
+            except Exception:
+                variables = restore(
+                    params_path, target=_target(not cfg.scan_blocks))
+                variables = adapt_params(variables,
+                                         want_scanned=cfg.scan_blocks)
     else:
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), msa_j, seq_j, aa_j)
 

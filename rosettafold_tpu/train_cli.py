@@ -39,8 +39,14 @@ def preset_config(name: str, crop: int) -> RoseTTAFoldConfig:
             performer=PerformerConfig(dim_head=16, nb_features=32),
             compute_dtype="bfloat16", remat=True,
         )
+    # scan_blocks: the full-size UNSCANNED train graph (20.5 MB MLIR) is known
+    # to get the remote compile helper killed (BENCHMARKS.md "Remote-compile
+    # helper limit"); the scanned graph compiles in ~1/3 the time, runs
+    # same-or-faster, and checkpoints convert to/from the unscanned layout via
+    # utils/scan_convert (predict --params handles either automatically).
     return RoseTTAFoldConfig(
-        max_len=max(260, crop + 4), compute_dtype="bfloat16", remat=True
+        max_len=max(260, crop + 4), compute_dtype="bfloat16", remat=True,
+        scan_blocks=True,
     )
 
 

@@ -127,6 +127,43 @@ def test_predict_restores_cross_layout_checkpoint(a3m_file, tmp_path):
     assert bool(jnp.isfinite(xyz).all())
 
 
+def test_predict_restores_train_cli_checkpoint(a3m_file, tmp_path):
+    """predict --params accepts the directory train_cli's --ckpt-dir wrote:
+    fit() saves a full TrainState (params + opt_state + step) under
+    <ckpt_dir>/latest, and predict extracts the params from it (r5; the
+    train -> checkpoint -> serve loop, exercised on-chip in BENCHMARKS.md
+    Training)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rosettafold_tpu.data.a3m import load_a3m, msa_features
+    from rosettafold_tpu.predict import predict
+    from rosettafold_tpu.train.checkpoint import save
+    from rosettafold_tpu.train.step import create_train_state
+
+    cfg = _tiny_cfg(24)
+    tokens = load_a3m(a3m_file)
+    msa, seq, aa_idx = msa_features(tokens, n_seq=4)
+    batch = {
+        "msa": jnp.asarray(msa), "seq": jnp.asarray(seq),
+        "aa_idx": jnp.asarray(aa_idx),
+        "xyz": jnp.zeros((msa.shape[0], msa.shape[2], 3, 3)),
+    }
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    ckpt_dir = str(tmp_path / "ck")
+    save(os.path.join(ckpt_dir, "latest"), state)
+
+    logits, xyz, plddt, _, _ = predict(
+        a3m_file, params_path=ckpt_dir, n_seq=4, config=cfg)
+    assert bool(jnp.isfinite(xyz).all())
+    # the restored params are the trained ones, not a re-init
+    want = np.asarray(jax.tree.leaves(state.params)[0])
+    logits2, xyz2, *_ = predict(
+        a3m_file, params_path=os.path.join(ckpt_dir, "latest"), n_seq=4,
+        config=cfg)
+    np.testing.assert_allclose(np.asarray(xyz2), np.asarray(xyz), atol=0)
+
+
 def test_count_parameters_and_summary():
     import jax
     import jax.numpy as jnp

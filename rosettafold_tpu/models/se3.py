@@ -62,6 +62,16 @@ class Fiber:
             new[d] = max(new.get(d, 0), m)
         return Fiber(new)
 
+    @staticmethod
+    def combine_selectively(f1: "Fiber", f2: "Fiber") -> "Fiber":
+        """Sum multiplicities only for degrees already present in f1
+        (reference fibers.py:82-91)."""
+        new = dict(f1.dict)
+        for d in f1.degrees:
+            if d in f2.dict:
+                new[d] += f2.dict[d]
+        return Fiber(new)
+
     def __repr__(self):
         return f"Fiber({self.dict})"
 

@@ -373,3 +373,20 @@ def test_coord_update_bucket_matches_dense():
     s_bk, x_bk = jax.jit(bucket_k.apply)(params, xyz, msa, pair, aa, seq1h)
     np.testing.assert_allclose(np.asarray(s_bk), np.asarray(s_d), atol=2e-3)
     np.testing.assert_allclose(np.asarray(x_bk), np.asarray(x_d), atol=2e-3)
+
+
+def test_fiber_combine_family():
+    """Fiber.combine / combine_max / combine_selectively (reference fibers.py:60-91).
+
+    combine_selectively keeps only f1's degrees, summing f2's multiplicity
+    where the degree overlaps — used upstream for selective skip-cats.
+    """
+    f1 = Fiber({0: 4, 1: 2})
+    f2 = Fiber({0: 3, 1: 5, 2: 7})
+    assert Fiber.combine(f1, f2).dict == {0: 7, 1: 7, 2: 7}
+    assert Fiber.combine_max(f1, f2).dict == {0: 4, 1: 5, 2: 7}
+    sel = Fiber.combine_selectively(f1, f2)
+    assert sel.dict == {0: 7, 1: 7}  # degree 2 dropped: not in f1
+    assert sel.n_features == 7 * 1 + 7 * 3
+    # degrees in f1 but absent from f2 pass through unchanged
+    assert Fiber.combine_selectively(f2, f1).dict == {0: 7, 1: 7, 2: 7}
